@@ -1,0 +1,91 @@
+"""Bilinear resampling ops shared by DySample, deformable conv and TrajGRU warp.
+
+These replace the reference's native CUDA gathers (`F.grid_sample` at
+DySample_md.py:60 / models/TrajGru.py:56, `torchvision.ops.DeformConv2d` at
+DAGEM_md.py:46) with a single XLA-compilable bilinear gather over NHWC
+tensors. The gather is expressed as 4 advanced-index reads + a weighted sum;
+XLA lowers it to TPU gathers, and the surrounding convs stay on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_gather(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Sample ``img`` at continuous pixel coordinates ``(x, y)``.
+
+    Args:
+      img: ``(B, H, W, C)``.
+      x, y: ``(B, Ho, Wo)`` pixel-space coordinates (x along W, y along H),
+        where integer coordinates land exactly on pixel centers.
+      padding_mode: "border" (clamp) or "zeros" (out-of-range reads 0).
+
+    Returns:
+      ``(B, Ho, Wo, C)``.
+    """
+    B, H, W, _ = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(img.dtype)[..., None]
+    wy = (y - y0).astype(img.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def fetch(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        v = img[b, yc, xc]  # (B, Ho, Wo, C)
+        if padding_mode == "zeros":
+            inside = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
+            v = v * inside[..., None].astype(img.dtype)
+        return v
+
+    v00 = fetch(y0i, x0i)
+    v01 = fetch(y0i, x0i + 1)
+    v10 = fetch(y0i + 1, x0i)
+    v11 = fetch(y0i + 1, x0i + 1)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def grid_sample_bilinear(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """``F.grid_sample``-compatible bilinear sampling (NHWC).
+
+    Args:
+      img: ``(B, H, W, C)``.
+      grid: ``(B, Ho, Wo, 2)`` normalized coords in [-1, 1]; ``grid[..., 0]``
+        is x (width axis), ``grid[..., 1]`` is y (height axis) — same layout
+        as torch.
+      align_corners: coordinate convention. False maps -1/1 to the outer
+        pixel-edge (torch default in DySample); True maps them to the first
+        and last pixel centers (TrajGRU's ``wrap`` uses True semantics via
+        its own mesh, see models/TrajGru.py:39-57).
+    """
+    B, H, W, _ = img.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+    # torch border padding clamps the *unnormalized* coords into the valid
+    # pixel-center range before interpolation weights are computed.
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    return bilinear_gather(img, x, y, padding_mode=padding_mode)

@@ -1,0 +1,35 @@
+"""grid_sample parity vs torch (CPU) — the reference's native gather op
+(DySample_md.py:60, models/TrajGru.py:56)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kmunet_tpu.ops import grid_sample_bilinear
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_grid_sample_matches_torch(rng, align_corners, padding_mode):
+    B, H, W, C = 2, 9, 11, 4
+    Ho, Wo = 13, 7
+    img = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, size=(B, Ho, Wo, 2)).astype(np.float32)
+
+    got = np.asarray(
+        grid_sample_bilinear(
+            jnp.asarray(img), jnp.asarray(grid),
+            align_corners=align_corners, padding_mode=padding_mode,
+        )
+    )
+    want = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        align_corners=align_corners,
+        padding_mode=padding_mode,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
