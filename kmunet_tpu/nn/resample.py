@@ -1,0 +1,167 @@
+"""Learned resampling: DySample upsampler and deformable convolution.
+
+Both reduce to the shared bilinear gather in ops/sample.py — the TPU-native
+replacement for the reference's native CUDA ops (`F.grid_sample` in
+DySample_md.py:60, `torchvision.ops.DeformConv2d` in DAGEM_md.py:46).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from kmunet_tpu.nn.init import kaiming_uniform_torch, normal_init
+from kmunet_tpu.ops.sample import bilinear_gather, grid_sample_bilinear
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC pixel shuffle with torch channel semantics: (B,H,W,C*r^2)->(B,rH,rW,C)."""
+    B, H, W, Cr2 = x.shape
+    C = Cr2 // (r * r)
+    x = x.reshape(B, H, W, C, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, r, W, r, C
+    return x.reshape(B, H * r, W * r, C)
+
+
+def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    B, Hr, Wr, C = x.shape
+    H, W = Hr // r, Wr // r
+    x = x.reshape(B, H, r, W, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H, W, C, r, r
+    return x.reshape(B, H, W, C * r * r)
+
+
+class DySample(nn.Module):
+    """Content-aware upsampling via learned sampling offsets.
+
+    Re-derivation of `/root/reference/DySample_md.py:20-81` ('lp' and 'pl'
+    styles, optional dyscope gate). A 1x1 conv (weights ~N(0, 1e-3), zero
+    bias) predicts per-group, per-subpixel (x, y) offsets; offsets*0.25 plus
+    the static sub-pixel grid give sampling coords, gathered bilinearly with
+    border clamping (align_corners=False semantics).
+    """
+
+    scale: int = 2
+    style: str = "lp"
+    groups: int = 4
+    dyscope: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.style in ("lp", "pl")
+        B, H, W, C = x.shape
+        s, g = self.scale, self.groups
+        assert C >= g and C % g == 0
+
+        if self.style == "pl":
+            assert C >= s * s and C % (s * s) == 0
+            x_ = pixel_shuffle(x, s)
+            raw = nn.Conv(
+                2 * g, (1, 1), kernel_init=normal_init(std=1e-3),
+                bias_init=nn.initializers.zeros, name="offset",
+            )(x_)
+            if self.dyscope:
+                scope = nn.Conv(
+                    2 * g, (1, 1), use_bias=False,
+                    kernel_init=nn.initializers.zeros, name="scope",
+                )(x_)
+                raw = raw * jax.nn.sigmoid(scope) * 0.5
+            else:
+                raw = raw * 0.25
+            # (B, sH, sW, 2g) -unshuffle-> (B, H, W, g*2*s*s); our conv channel
+            # layout is (g, [x,y]) so unshuffled layout is (g, 2, di, dj).
+            off = pixel_unshuffle(raw, s).reshape(B, H, W, g, 2, s, s)
+            off = off.transpose(0, 1, 2, 5, 6, 3, 4)  # (B,H,W,s,s,g,2)
+            offx = off[..., 0]
+            offy = off[..., 1]
+        else:
+            raw = nn.Conv(
+                2 * g * s * s, (1, 1), kernel_init=normal_init(std=1e-3),
+                bias_init=nn.initializers.zeros, name="offset",
+            )(x)
+            if self.dyscope:
+                scope = nn.Conv(
+                    2 * g * s * s, (1, 1), use_bias=False,
+                    kernel_init=nn.initializers.zeros, name="scope",
+                )(x)
+                raw = raw * jax.nn.sigmoid(scope) * 0.5
+            else:
+                raw = raw * 0.25
+            # channel layout (ours): (g, s, s, 2) with last = (x_off, y_off)
+            off = raw.reshape(B, H, W, g, s, s, 2)
+            off = off.transpose(0, 1, 2, 4, 5, 3, 6)  # (B,H,W,s,s,g,2)
+            offx = off[..., 0]
+            offy = off[..., 1]
+
+        # Static sub-pixel init positions (DySample_md.py:45-47):
+        # subpixel (di, dj) samples at (j + 0.5 + (dj-(s-1)/2)/s,
+        #                               i + 0.5 + (di-(s-1)/2)/s).
+        sub = (jnp.arange(s, dtype=x.dtype) - (s - 1) / 2.0) / s
+        init_x = sub[None, :]  # varies with dj
+        init_y = sub[:, None]  # varies with di
+        jj = jnp.arange(W, dtype=x.dtype)[None, :, None, None, None]
+        ii = jnp.arange(H, dtype=x.dtype)[:, None, None, None, None]
+        px = jj + 0.5 + init_x[None, None, :, :, None] + offx  # (B,H,W,s,s,g)
+        py = ii + 0.5 + init_y[None, None, :, :, None] + offy
+
+        # Normalize exactly like the reference: 2*(coord+off)/size - 1, then
+        # grid_sample(align_corners=False, border).
+        gx = 2.0 * px / W - 1.0
+        gy = 2.0 * py / H - 1.0
+
+        # (B,H,W,s,s,g,2) -> (B, sH, sW, g, 2)
+        grid = jnp.stack([gx, gy], axis=-1)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, s * H, s * W, g, 2)
+
+        # Group the channels and sample each group with its own grid.
+        xg = x.reshape(B, H, W, g, C // g).transpose(0, 3, 1, 2, 4)
+        xg = xg.reshape(B * g, H, W, C // g)
+        gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, s * H, s * W, 2)
+        out = grid_sample_bilinear(xg, gg, align_corners=False, padding_mode="border")
+        out = out.reshape(B, g, s * H, s * W, C // g).transpose(0, 2, 3, 1, 4)
+        return out.reshape(B, s * H, s * W, C)
+
+
+class DeformConv2d(nn.Module):
+    """torchvision-semantics deformable 3x3 conv (NHWC, zero padding).
+
+    For each kernel tap k the input is bilinearly sampled at
+    ``p0 + p_k + offset_k`` (out-of-range reads 0), then all taps contract
+    with the kernel as one (1,1,K*K*C,out) matmul on the MXU.
+    Offset layout matches torchvision: channels (k, [dy, dx]) row-major taps.
+    """
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, offset):
+        B, H, W, C = x.shape
+        k = self.kernel_size
+        p = self.padding
+        assert offset.shape[-1] == 2 * k * k
+
+        kernel = self.param(
+            "kernel", kaiming_uniform_torch(), (k, k, C, self.features)
+        )
+        taps = []
+        ii = jnp.arange(H, dtype=x.dtype)[None, :, None]
+        jj = jnp.arange(W, dtype=x.dtype)[None, None, :]
+        for kh in range(k):
+            for kw in range(k):
+                t = kh * k + kw
+                dy = offset[..., 2 * t]
+                dx = offset[..., 2 * t + 1]
+                sy = ii + (kh - p) + dy
+                sx = jj + (kw - p) + dx
+                taps.append(bilinear_gather(x, sx, sy, padding_mode="zeros"))
+        gathered = jnp.concatenate(taps, axis=-1)  # (B,H,W,k*k*C)
+        w = kernel.transpose(0, 1, 2, 3).reshape(k * k * C, self.features)
+        y = jnp.einsum("bhwf,fo->bhwo", gathered, w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
