@@ -56,6 +56,34 @@ def bilinear_gather(
     return top * (1.0 - wy) + bot * wy
 
 
+def resize_bilinear(
+    img: jnp.ndarray,
+    size: tuple[int, int],
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear resize of NHWC images with torch ``F.interpolate`` semantics.
+
+    The reference resizes skip features with ``align_corners=True``
+    (KM_UNetV3_SH.py:493-495) and upsamples the LAPS decoder the same way
+    (KM_UNetV3_LAPS.py decoder Upsample blocks).
+    """
+    B, H, W, _ = img.shape
+    Ho, Wo = size
+    if (H, W) == (Ho, Wo):
+        return img
+    if align_corners:
+        ys = jnp.arange(Ho, dtype=img.dtype) * ((H - 1) / max(Ho - 1, 1))
+        xs = jnp.arange(Wo, dtype=img.dtype) * ((W - 1) / max(Wo - 1, 1))
+    else:
+        ys = (jnp.arange(Ho, dtype=img.dtype) + 0.5) * (H / Ho) - 0.5
+        xs = (jnp.arange(Wo, dtype=img.dtype) + 0.5) * (W / Wo) - 0.5
+        ys = jnp.clip(ys, 0, H - 1)
+        xs = jnp.clip(xs, 0, W - 1)
+    y = jnp.broadcast_to(ys[None, :, None], (B, Ho, Wo))
+    x = jnp.broadcast_to(xs[None, None, :], (B, Ho, Wo))
+    return bilinear_gather(img, x, y, padding_mode="border")
+
+
 def grid_sample_bilinear(
     img: jnp.ndarray,
     grid: jnp.ndarray,
