@@ -1,0 +1,358 @@
+"""Training/eval engine — one parameterized engine replacing the reference's
+16 cloned train scripts (SURVEY.md §2.3 D7/D8).
+
+The train step is a single jitted function over a sharded global batch;
+GSPMD inserts the gradient psums for data parallelism and any halo
+exchanges for spatial sharding. BatchNorm statistics are computed over the
+*global* batch automatically (jit has global semantics over sharded arrays) —
+i.e. sync-BN for free, where the reference is single-device BN.
+
+Runnable:
+    python -m kmunet_tpu.train.engine --config=synthetic --max_steps=2
+    python -m kmunet_tpu.train.engine --config=shanghai --data.path=... \
+        --train.epochs=120
+"""
+
+from __future__ import annotations
+
+import csv
+import functools
+import os
+import sys
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from kmunet_tpu.configs import ExperimentConfig, laps_km_unet, parse_overrides, shanghai_km_unet
+from kmunet_tpu.data import DataLoader, LAPSDataset, ShanghaiDataset, SyntheticNowcastDataset, split_indices
+from kmunet_tpu.losses import hybrid_loss, rain_loss, rainfall_loss, weighted_mse_mae
+from kmunet_tpu.metrics import Evaluator
+from kmunet_tpu.parallel import MeshSpec, batch_sharding, make_mesh, param_sharding_rules, replicated, shard_params
+from kmunet_tpu.train.schedule import cosine_annealing_per_epoch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# --------------------------------------------------------------------------
+# builders
+# --------------------------------------------------------------------------
+
+def build_model(cfg: ExperimentConfig):
+    from kmunet_tpu.models import zoo
+
+    return zoo.build(cfg.model)
+
+
+def build_loss(cfg: ExperimentConfig) -> Callable:
+    name = cfg.train.loss
+    if name == "hybrid":
+        return functools.partial(hybrid_loss, alpha=cfg.train.loss_alpha)
+    if name == "rainfall":
+        return rainfall_loss
+    if name == "rain":
+        return rain_loss
+    if name == "weighted_mse_mae":
+        return functools.partial(
+            weighted_mse_mae, lam=None, thresholds=tuple(cfg.data.thresholds)
+        )
+    if name == "mse":
+        return lambda p, t: jnp.mean((p - t) ** 2)
+    raise ValueError(f"unknown loss {name}")
+
+
+def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
+    t = cfg.train
+    if t.schedule == "cosine_epoch":
+        sched = cosine_annealing_per_epoch(t.lr, t.eta_min, t.cosine_t_max, steps_per_epoch)
+    elif t.schedule == "constant":
+        sched = t.lr
+    else:
+        raise ValueError(f"unknown schedule {t.schedule}")
+    if t.optimizer == "adamw":
+        return optax.adamw(sched, weight_decay=t.weight_decay)
+    if t.optimizer == "adam":
+        return optax.adam(sched)
+    if t.optimizer == "sgd":
+        return optax.sgd(sched, momentum=0.9)
+    raise ValueError(f"unknown optimizer {t.optimizer}")
+
+
+def init_state(cfg: ExperimentConfig, model, tx, rng) -> TrainState:
+    d = cfg.data
+    if _model_layout(cfg) == "seq":
+        dummy = jnp.zeros((1, d.in_frames, d.img_size, d.img_size), jnp.float32)
+    else:
+        dummy = jnp.zeros((1, d.img_size, d.img_size, d.in_frames), jnp.float32)
+    variables = model.init({"params": rng, "dropout": jax.random.fold_in(rng, 1)}, dummy)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+# --------------------------------------------------------------------------
+# steps
+# --------------------------------------------------------------------------
+
+def _split_batch(batch, in_frames: int, out_frames: int, layout: str = "stack"):
+    """(B, seq, H, W) -> model input + (B, T, H, W) target.
+
+    layout 'stack': frames as NHWC channels (KM-UNet & conv UNets);
+    layout 'seq':   (B, S, H, W) sequence (ConvLSTM/TrajGRU EF models).
+    """
+    tgt = batch[:, in_frames : in_frames + out_frames]
+    if layout == "seq":
+        return batch[:, :in_frames], tgt
+    return jnp.transpose(batch[:, :in_frames], (0, 2, 3, 1)), tgt
+
+
+def _model_layout(cfg: ExperimentConfig) -> str:
+    from kmunet_tpu.models.zoo import SEQUENCE_MODELS
+
+    return "seq" if cfg.model.name in SEQUENCE_MODELS else "stack"
+
+
+def _to_btHW(out, layout: str):
+    """Model output -> (B, T, H, W). 'stack' models return NHWC with T as
+    channels; 'seq' models already return (B, T, H, W)."""
+    if layout == "stack":
+        return jnp.transpose(out, (0, 3, 1, 2))
+    return out
+
+
+def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
+    in_f, out_f = cfg.data.in_frames, cfg.data.out_frames
+    layout = _model_layout(cfg)
+    cdtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        inp, tgt = _split_batch(batch, in_f, out_f, layout)
+
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            inp_c = inp.astype(cdtype)
+            out, mutated = model.apply(
+                variables, inp_c, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            pred = _to_btHW(out.astype(jnp.float32), layout)
+            return loss_fn(pred, tgt), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn, cfg: ExperimentConfig):
+    in_f, out_f = cfg.data.in_frames, cfg.data.out_frames
+    layout = _model_layout(cfg)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        inp, tgt = _split_batch(batch, in_f, out_f, layout)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, inp, train=False)
+        pred = _to_btHW(out.astype(jnp.float32), layout)
+        return loss_fn(pred, tgt), pred, tgt
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------
+# data
+# --------------------------------------------------------------------------
+
+def build_datasets(cfg: ExperimentConfig):
+    d = cfg.data
+    if d.name == "synthetic":
+        mk = lambda n, seed: SyntheticNowcastDataset(  # noqa: E731
+            length=n, img_size=d.img_size, seq_len=d.seq_len, seed=seed
+        )
+        n = d.synthetic_length
+        n_eval = max(n // 4, d.batch_size)
+        return mk(n, 0), mk(n_eval, 1), mk(n_eval, 2)
+    if d.name == "shanghai":
+        base = ShanghaiDataset(d.path, d.img_size, "train")
+        tr_i, va_i, te_i = split_indices(base.all_len)
+        mk = lambda idx: ShanghaiDataset(d.path, d.img_size, "train", indices=idx)  # noqa: E731
+        return mk(tr_i), mk(va_i), mk(te_i)
+    if d.name == "laps":
+        return (
+            LAPSDataset(d.path, d.seq_len, "train"),
+            LAPSDataset(d.path, d.seq_len, "val"),
+            LAPSDataset(d.path, d.seq_len, "test"),
+        )
+    raise ValueError(f"unknown dataset {d.name}")
+
+
+# --------------------------------------------------------------------------
+# loop
+# --------------------------------------------------------------------------
+
+def train_and_evaluate(
+    cfg: ExperimentConfig,
+    max_steps: Optional[int] = None,
+    log_csv: Optional[str] = None,
+) -> dict:
+    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.spatial, cfg.mesh.model))
+    data_sh = batch_sharding(mesh, ndim=4)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    loader = lambda ds, shuffle: DataLoader(  # noqa: E731
+        ds, cfg.data.batch_size, shuffle=shuffle, seed=cfg.train.seed,
+        num_workers=cfg.data.num_workers, sharding=data_sh,
+    )
+    train_loader = loader(train_ds, True)
+    val_loader = loader(val_ds, False)
+    test_loader = loader(test_ds, False)
+    for name, ld in [("train", train_loader), ("val", val_loader), ("test", test_loader)]:
+        if len(ld) == 0:
+            raise ValueError(
+                f"{name} loader yields 0 batches "
+                f"(dataset len {len(ld.dataset)} < global batch {cfg.data.batch_size}?)"
+            )
+    steps_per_epoch = max(len(train_loader), 1)
+
+    model = build_model(cfg)
+    loss_fn = build_loss(cfg)
+    tx = build_optimizer(cfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = init_state(cfg, model, tx, rng)
+    state = jax.device_put(state, replicated(mesh))
+    if cfg.mesh.fsdp:
+        rules = param_sharding_rules(mesh, state.params, fsdp=True)
+        state = state.replace(params=shard_params(state.params, rules))
+
+    train_step = make_train_step(model, loss_fn, tx, cfg)
+    eval_step = make_eval_step(model, loss_fn, cfg)
+
+    ckpt = None
+    if cfg.train.ckpt_dir:
+        from kmunet_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.train.ckpt_dir)
+
+    csv_rows = []
+    best_val = float("inf")
+    global_step = 0
+    t_start = time.time()
+    history = {"train_loss": [], "val_loss": []}
+
+    for epoch in range(cfg.train.epochs):
+        # ---- train ----
+        ep_loss, n_b = 0.0, 0
+        for batch in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            state, m = train_step(state, batch, step_rng)
+            ep_loss += float(m["loss"])
+            n_b += 1
+            global_step += 1
+            if max_steps and global_step >= max_steps:
+                break
+        train_loss = ep_loss / max(n_b, 1)
+
+        # ---- validate ----
+        v_loss, n_v = 0.0, 0
+        for batch in val_loader:
+            l, _, _ = eval_step(state, batch)
+            v_loss += float(l)
+            n_v += 1
+        val_loss = v_loss / max(n_v, 1)
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        csv_rows.append({"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+                         "time": time.time() - t_start})
+        print(f"epoch {epoch}: train={train_loss:.5f} val={val_loss:.5f} "
+              f"({global_step} steps, {time.time()-t_start:.0f}s)")
+
+        if val_loss < best_val:
+            best_val = val_loss
+            if ckpt is not None:
+                ckpt.save(global_step, jax.device_get(state), val_loss)
+
+        if max_steps and global_step >= max_steps:
+            break
+
+    # ---- test: CSI/POD/HSS/FAR/RMSE/SSIM via the streaming evaluator ----
+    evaluator = Evaluator(
+        seq_len=cfg.data.out_frames,
+        value_scale=cfg.data.value_scale,
+        thresholds=tuple(cfg.data.thresholds),
+    )
+    t_loss, n_t = 0.0, 0
+    for batch in test_loader:
+        l, pred, tgt = eval_step(state, batch)
+        evaluator.evaluate(tgt, pred)
+        t_loss += float(l)
+        n_t += 1
+    results = evaluator.done() if n_t else {}
+    results["test_loss"] = t_loss / max(n_t, 1)
+    results["history"] = history
+    results["steps"] = global_step
+
+    if log_csv and csv_rows:
+        with open(log_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(csv_rows[0]))
+            w.writeheader()
+            w.writerows(csv_rows)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    return results
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_name = "synthetic"
+    max_steps = None
+    rest = []
+    for a in argv:
+        if a.startswith("--config="):
+            config_name = a.split("=", 1)[1]
+        elif a.startswith("--max_steps="):
+            max_steps = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+
+    if config_name == "shanghai":
+        cfg = shanghai_km_unet()
+    elif config_name == "laps":
+        cfg = laps_km_unet()
+    else:
+        cfg = shanghai_km_unet()
+        cfg.data.name = "synthetic"
+    parse_overrides(cfg, rest)
+    results = train_and_evaluate(cfg, max_steps=max_steps)
+    print({k: v for k, v in results.items() if k != "history"})
+
+
+if __name__ == "__main__":
+    main()
