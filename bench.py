@@ -3,9 +3,14 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 
+Timing methodology: this environment's remote-TPU tunnel does not honor
+``block_until_ready`` (dispatch returns immediately and "blocking" is a
+no-op), so naive wall-clock loops under-report by orders of magnitude. We
+instead run N forwards inside ONE jitted ``fori_loop`` with a data dependency
+chaining iterations, and force completion with a scalar host readback.
+
 The reference publishes no numbers (BASELINE.md), so the baseline is the
-first recorded run of this harness: bench.py appends its measurement history
-to BENCH_HISTORY.jsonl and reports vs_baseline relative to the first entry.
+first recorded run of this harness (BENCH_HISTORY.jsonl).
 """
 
 from __future__ import annotations
@@ -22,7 +27,6 @@ HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTOR
 IMG = 128
 BATCH = 8
 OUT_FRAMES = 20
-WARMUP = 3
 ITERS = 20
 
 
@@ -33,21 +37,21 @@ def measure() -> float:
     x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, IMG, IMG, 5))
     variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 5)))
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
-    y = fwd(variables, x)
-    y.block_until_ready()
-    for _ in range(WARMUP):
-        fwd(variables, x).block_until_ready()
+    @jax.jit
+    def run_chain(variables, x):
+        def body(i, carry):
+            y = model.apply(variables, x * (1.0 + 1e-20 * carry))
+            return carry + jnp.mean(y)
 
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+    float(run_chain(variables, x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y = fwd(variables, x)
-    y.block_until_ready()
+    float(run_chain(variables, x))  # readback forces completion
     dt = (time.perf_counter() - t0) / ITERS
 
     n_chips = max(jax.device_count(), 1)
-    frames_per_sec = BATCH * OUT_FRAMES / dt
-    return frames_per_sec / n_chips
+    return BATCH * OUT_FRAMES / dt / n_chips
 
 
 def main():
@@ -57,7 +61,7 @@ def main():
         with open(HISTORY) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("metric") == "nowcast_fps_per_chip_128px":
+                if rec.get("metric") == "nowcast_fps_per_chip_128px" and rec.get("honest"):
                     baseline = rec["value"]
                     break
     record = {
@@ -67,7 +71,7 @@ def main():
         "vs_baseline": round(fps / baseline, 3) if baseline else 1.0,
     }
     with open(HISTORY, "a") as f:
-        f.write(json.dumps({**record, "ts": time.time()}) + "\n")
+        f.write(json.dumps({**record, "honest": True, "ts": time.time()}) + "\n")
     print(json.dumps(record))
 
 

@@ -30,14 +30,14 @@ an issue if a recipe ever needs it.)
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from kmunet_tpu.nn.init import kaiming_uniform_torch
-from kmunet_tpu.ops.spline import bspline_basis
+from kmunet_tpu.ops.spline import bspline_basis, cardinal_bspline_basis_flat
 
 
 def _knots(grid_size: int, spline_order: int, grid_range=(-1.0, 1.0)) -> jnp.ndarray:
@@ -126,13 +126,13 @@ class KANConv2d(nn.Module):
     spline_order: int = 3
     scale_noise: float = 0.1
     base_activation: Callable = jax.nn.silu
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for AMP
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         k = self.kernel_size
         n_basis = self.grid_size + self.spline_order
-        knots = _knots(self.grid_size, self.spline_order)
 
         base_k = self.param(
             "base_kernel", kaiming_uniform_torch(), (k, k, C, self.features)
@@ -149,15 +149,24 @@ class KANConv2d(nn.Module):
         p = self.padding
         xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0))) if p else x
 
+        # Uniform-grid fast path: all bases as shifts of one cardinal cubic,
+        # evaluated directly in (B, H, W, C*n_basis) lane-packed layout.
+        basis = cardinal_bspline_basis_flat(xp, self.grid_size, self.spline_order)
+        sk = (spline_k * scaler[..., None, :]).reshape(k, k, C * n_basis, self.features)
+        base_in = self.base_activation(xp)
+
+        cd = self.compute_dtype
+        if cd is not None:
+            basis, sk = basis.astype(cd), sk.astype(cd)
+            base_in, base_k = base_in.astype(cd), base_k.astype(cd)
+
         dn = ("NHWC", "HWIO", "NHWC")
         base = jax.lax.conv_general_dilated(
-            self.base_activation(xp), base_k, (self.stride, self.stride), "VALID",
-            dimension_numbers=dn,
+            base_in, base_k, (self.stride, self.stride), "VALID",
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
         )
-        basis = bspline_basis(xp, knots[None, :], self.spline_order)
-        basis = basis.reshape(B, xp.shape[1], xp.shape[2], C * n_basis)
-        sk = (spline_k * scaler[..., None, :]).reshape(k, k, C * n_basis, self.features)
         spline = jax.lax.conv_general_dilated(
             basis, sk, (self.stride, self.stride), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
         )
-        return base + spline
+        return (base + spline).astype(x.dtype)

@@ -1,0 +1,51 @@
+"""Pallas kernel parity tests (run in interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kmunet_tpu.kernels import fused_kanconv, kanconv_reference
+
+
+def _setup(rng, B=2, H=16, W=16, C=16, F=16):
+    xp = jnp.asarray(rng.uniform(-1.2, 1.2, (B, H + 2, W + 2, C)).astype(np.float32))
+    bk = jnp.asarray(rng.normal(size=(3, 3, C, F)).astype(np.float32) * 0.1)
+    sk = jnp.asarray(rng.normal(size=(3, 3, C * 8, F)).astype(np.float32) * 0.1)
+    return xp, bk, sk
+
+
+def test_fused_kanconv_matches_xla(rng):
+    xp, bk, sk = _setup(rng)
+    ref = kanconv_reference(xp, bk, sk)
+    got = fused_kanconv(xp, bk, sk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_kanconv_grads_match(rng):
+    xp, bk, sk = _setup(rng, H=8, W=8)
+
+    def loss(f, x_, b_, s_):
+        return jnp.sum(f(x_, b_, s_) ** 2)
+
+    g1 = jax.grad(loss, argnums=(1, 2, 3))(fused_kanconv, xp, bk, sk)
+    g2 = jax.grad(loss, argnums=(1, 2, 3))(kanconv_reference, xp, bk, sk)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_fused_kanconv_matches_kanconv_module(rng):
+    """End-to-end: the kernel agrees with nn.KANConv2d given its params."""
+    from kmunet_tpu.nn.kan import KANConv2d
+
+    B, H, W, C, F = 1, 16, 16, 16, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32))
+    mod = KANConv2d(features=F, kernel_size=3, padding=1)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    want = mod.apply({"params": params}, x)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sk_flat = (
+        params["spline_kernel"] * params["spline_scaler"][..., None, :]
+    ).reshape(3, 3, C * 8, F)
+    got = fused_kanconv(xp, params["base_kernel"], sk_flat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
