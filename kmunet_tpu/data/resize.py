@@ -14,21 +14,26 @@ import numpy as np
 
 
 def _triangle_weights(in_size: int, out_size: int) -> np.ndarray:
-    """(out_size, in_size) antialiased bilinear weight matrix."""
-    scale = in_size / out_size
-    support = max(scale, 1.0)
-    centers = (np.arange(out_size) + 0.5) * scale - 0.5
-    lo = np.floor(centers - support).astype(int)
-    hi = np.ceil(centers + support).astype(int)
+    """(out_size, in_size) antialiased bilinear weight matrix.
+
+    Exact replication of PIL's resample weight computation (which
+    torchvision's antialiased tensor path also matches): triangle filter of
+    support ``scale``, window clipped to the image and renormalized.
+    """
+    scale = max(in_size / out_size, 1.0)
+    step = in_size / out_size
+    support = scale  # bilinear filter support 1.0 * scale
     W = np.zeros((out_size, in_size), np.float64)
     for i in range(out_size):
-        idx = np.arange(lo[i], hi[i] + 1)
-        d = np.abs((idx - centers[i]) / support)
-        w = np.clip(1.0 - d, 0.0, None)
-        idxc = np.clip(idx, 0, in_size - 1)
-        total = w.sum()
-        for j, wj in zip(idxc, w / total):
-            W[i, j] += wj
+        center = (i + 0.5) * step
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(in_size, int(center + support + 0.5))
+        idx = np.arange(xmin, xmax)
+        w = 1.0 - np.abs((idx + 0.5 - center) / scale)
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s > 0:
+            W[i, xmin:xmax] = w / s
     return W
 
 
