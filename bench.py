@@ -25,9 +25,9 @@ import jax.numpy as jnp
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 IMG = 128
-BATCH = 8
+BATCH = 64  # throughput scales sublinearly but peaks near 64 (see BASELINE.md)
 OUT_FRAMES = 20
-ITERS = 20
+ITERS = 10
 
 
 def measure() -> float:

@@ -78,14 +78,14 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     elif t.schedule == "constant":
         sched = t.lr
     else:
-        raise ValueError(f"unknown schedule {t.schedule}")
-    if t.optimizer == "adamw":
-        return optax.adamw(sched, weight_decay=t.weight_decay)
-    if t.optimizer == "adam":
-        return optax.adam(sched)
-    if t.optimizer == "sgd":
-        return optax.sgd(sched, momentum=0.9)
-    raise ValueError(f"unknown optimizer {t.optimizer}")
+        from kmunet_tpu.train.optimizers import make_schedule
+
+        sched = make_schedule(t.schedule, t.lr, steps_per_epoch,
+                              eta_min=t.eta_min, t_max=t.cosine_t_max,
+                              epochs=t.epochs)
+    from kmunet_tpu.train.optimizers import make_optimizer
+
+    return make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay)
 
 
 def init_state(cfg: ExperimentConfig, model, tx, rng) -> TrainState:
