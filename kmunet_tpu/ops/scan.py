@@ -43,3 +43,82 @@ def selective_scan(
     y = jnp.einsum("bldn,bln->bld", h, Cmat.astype(jnp.float32))
     y = y + xf * D.astype(jnp.float32)
     return y.astype(dtype)
+
+
+def _combine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a2 * a1, a2 * b1 + b2
+
+
+def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial"):
+    """Sequence-parallel selective scan: L sharded across a mesh axis.
+
+    The reference cannot scale sequence length at all (SURVEY.md §5); here
+    the token axis is sharded and the scan decomposes as a two-level prefix
+    scan:
+
+      1. each device runs a local associative scan over its L-chunk,
+      2. chunk carries (decay product, final state) are prefix-combined
+         across devices with log2(n) ``ppermute`` hops over ICI,
+      3. the incoming prefix state is folded into the local chunk.
+
+    Implemented with shard_map so the collective schedule is explicit.
+    Inputs/outputs as ``selective_scan``; arrays must be sharded (or
+    shardable) with L on ``axis``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape[axis]
+
+    def local(x, dt, Bm, Cm, A, D):
+        xf = x.astype(jnp.float32)
+        dtf = dt.astype(jnp.float32)
+        decay = jnp.exp(dtf[..., None] * A.astype(jnp.float32))
+        inc = (dtf * xf)[..., None] * Bm.astype(jnp.float32)[:, :, None, :]
+        a_cum, h_local = jax.lax.associative_scan(_combine, (decay, inc), axis=1)
+
+        # chunk summary: total decay product and final state of this chunk
+        a_tot = a_cum[:, -1]
+        h_tot = h_local[:, -1]
+
+        # Inclusive prefix-combine of chunk transforms across devices
+        # (Hillis-Steele, log2(n) ppermute hops). Transform T_i maps an
+        # incoming state h to a_i*h + b_i; combining with the *older*
+        # received segment: a <- a_cur*a_recv, b <- a_cur*b_recv + b_cur.
+        idx = jax.lax.axis_index(axis)
+        ca, cb = a_tot, h_tot
+        shift = 1
+        while shift < n_shards:
+            perm = [(i, i + shift) for i in range(n_shards - shift)]
+            ra = jax.lax.ppermute(ca, axis, perm)
+            rb = jax.lax.ppermute(cb, axis, perm)
+            use = (idx >= shift)
+            new_ca = jnp.where(use, ca * ra, ca)
+            new_cb = jnp.where(use, ca * rb + cb, cb)
+            ca, cb = new_ca, new_cb
+            shift *= 2
+        # exclusive prefix state entering this chunk = inclusive of i-1
+        pb = jax.lax.ppermute(cb, axis, [(i, i + 1) for i in range(n_shards - 1)])
+        pb = jnp.where(idx == 0, jnp.zeros_like(pb), pb)
+
+        # fold the incoming prefix state into local results:
+        # h_t <- h_t + a_cum_t * pb
+        h = h_local + a_cum * pb[:, None]
+        y = jnp.einsum("bldn,bln->bld", h, Cm.astype(jnp.float32))
+        y = y + xf * D.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    spec_l = P(None, axis, None)
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_l, spec_l, spec_l, spec_l, P(None, None), P(None)),
+        out_specs=spec_l,
+    )(x, dt, Bmat, Cmat, A, D)
+    return out
