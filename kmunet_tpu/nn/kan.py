@@ -160,13 +160,15 @@ class KANConv2d(nn.Module):
             basis, sk = basis.astype(cd), sk.astype(cd)
             base_in, base_k = base_in.astype(cd), base_k.astype(cd)
 
+        # No preferred_element_type: the MXU accumulates bf16 convs in fp32
+        # anyway, and a widened output dtype breaks the conv transpose rule
+        # under AMP (fp32 cotangent vs bf16 kernel).
         dn = ("NHWC", "HWIO", "NHWC")
         base = jax.lax.conv_general_dilated(
             base_in, base_k, (self.stride, self.stride), "VALID",
-            dimension_numbers=dn, preferred_element_type=jnp.float32,
+            dimension_numbers=dn,
         )
         spline = jax.lax.conv_general_dilated(
             basis, sk, (self.stride, self.stride), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
         )
         return (base + spline).astype(x.dtype)

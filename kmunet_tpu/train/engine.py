@@ -145,14 +145,27 @@ def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
         inp, tgt = _split_batch(batch, in_f, out_f, layout)
 
         def loss_of(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            inp_c = inp.astype(cdtype)
+            # AMP analogue (train_shanghai.py:172 autocast): cast params and
+            # inputs to the compute dtype inside the graph; master params and
+            # the gradients that flow back through the cast stay fp32.
+            if cdtype != jnp.float32:
+                params_c = jax.tree.map(
+                    lambda p: p.astype(cdtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    params,
+                )
+            else:
+                params_c = params
+            variables = {"params": params_c, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
-                variables, inp_c, train=True, mutable=["batch_stats"],
+                variables, inp.astype(cdtype), train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
             pred = _to_btHW(out.astype(jnp.float32), layout)
-            return loss_fn(pred, tgt), mutated["batch_stats"]
+            new_stats = jax.tree.map(
+                lambda s: s.astype(jnp.float32), mutated["batch_stats"]
+            )
+            return loss_fn(pred, tgt), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
