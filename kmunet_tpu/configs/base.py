@@ -59,6 +59,8 @@ class TrainConfig:
     log_every: int = 50
     ckpt_dir: Optional[str] = None
     compute_dtype: str = "float32"    # float32 | bfloat16 (AMP analogue)
+    resume: bool = False              # restore latest checkpoint from ckpt_dir
+    early_stop_patience: int = 0      # 0 = off; epochs without val improvement
 
 
 @dataclasses.dataclass

@@ -29,7 +29,8 @@ def bilinear_gather(
     Returns:
       ``(B, Ho, Wo, C)``.
     """
-    B, H, W, _ = img.shape
+    B, H, W, C = img.shape
+    Ho, Wo = x.shape[1:3]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = (x - x0).astype(img.dtype)[..., None]
@@ -37,11 +38,15 @@ def bilinear_gather(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # Row-gather over flattened spatial: measurably faster on TPU than
+    # multi-operand advanced indexing (one gather dim instead of three).
+    flat = img.reshape(B, H * W, C)
+
     def fetch(yi, xi):
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
-        b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-        v = img[b, yc, xc]  # (B, Ho, Wo, C)
+        idx = (yc * W + xc).reshape(B, Ho * Wo, 1)
+        v = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, C)
         if padding_mode == "zeros":
             inside = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
             v = v * inside[..., None].astype(img.dtype)

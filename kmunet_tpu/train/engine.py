@@ -271,10 +271,17 @@ def train_and_evaluate(
         from kmunet_tpu.train.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(cfg.train.ckpt_dir)
+        if cfg.train.resume:
+            abstract = jax.eval_shape(lambda: state)
+            step_restored, restored = ckpt.restore_latest(abstract)
+            if restored is not None:
+                state = jax.device_put(restored, replicated(mesh))
+                print(f"resumed from checkpoint step {step_restored}")
 
     csv_rows = []
     best_val = float("inf")
-    global_step = 0
+    bad_epochs = 0
+    global_step = int(state.step)
     t_start = time.time()
     history = {"train_loss": [], "val_loss": []}
 
@@ -308,8 +315,14 @@ def train_and_evaluate(
 
         if val_loss < best_val:
             best_val = val_loss
+            bad_epochs = 0
             if ckpt is not None:
                 ckpt.save(global_step, jax.device_get(state), val_loss)
+        else:
+            bad_epochs += 1
+            if cfg.train.early_stop_patience and bad_epochs >= cfg.train.early_stop_patience:
+                print(f"early stop at epoch {epoch} (patience {cfg.train.early_stop_patience})")
+                break
 
         if max_steps and global_step >= max_steps:
             break
