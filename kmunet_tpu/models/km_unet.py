@@ -96,19 +96,55 @@ class EnhancedViMBlock(nn.Module):
     """Three directional ViM branches + softmax gate + FFN residual.
 
     Reference: KM_UNetV3_SH.py:97-151.
+
+    ``fused_directions=True`` evaluates the three EfficientViM blocks and
+    direction attentions as ONE vmapped computation over a stacked (3, B,
+    ...) axis — the same function family (independent per-direction
+    parameters; the three pooling modes all reduce to a global mean,
+    KM_UNetV3_SH.py:243-254). Measured on v5e it is *slower* (13.4 vs 11.0
+    ms at B8 128^2 C16: XLA lowers per-item-kernel batched convs poorly), so
+    the default stays False; kept as an option for other backends/shapes.
     """
 
     expansion: int = 4
     state_dim: int = 64
     drop_path: float = 0.1
+    fused_directions: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = x.shape[-1]
         identity = x
-        h_feat = DirectionViM("height", self.state_dim, name="height_block")(x, train)
-        w_feat = DirectionViM("width", self.state_dim, name="width_block")(x, train)
-        c_feat = DirectionViM("channel", self.state_dim, name="channel_block")(x, train)
+        if self.fused_directions:
+            h_in = nn.Conv(C, (3, 1), padding="SAME",
+                           kernel_init=kaiming_uniform_torch(), name="height_proj")(x)
+            w_in = nn.Conv(C, (1, 3), padding="SAME",
+                           kernel_init=kaiming_uniform_torch(), name="width_proj")(x)
+            c_in = nn.Conv(C, (1, 1),
+                           kernel_init=kaiming_uniform_torch(), name="channel_proj")(x)
+            stacked = jnp.stack([h_in, w_in, c_in])  # (3, B, H, W, C)
+
+            VBlock = nn.vmap(
+                EfficientViMBlock,
+                in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )
+            y = VBlock(dim=C, mlp_ratio=4, ssd_expand=1, state_dim=64,
+                       name="vit_mamba3")(stacked, train)
+
+            VAttn = nn.vmap(
+                DirectionAttention,
+                in_axes=0, out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+            )
+            feats = VAttn(mode="height", name="attn3")(y)
+            h_feat, w_feat, c_feat = feats[0], feats[1], feats[2]
+        else:
+            h_feat = DirectionViM("height", self.state_dim, name="height_block")(x, train)
+            w_feat = DirectionViM("width", self.state_dim, name="width_block")(x, train)
+            c_feat = DirectionViM("channel", self.state_dim, name="channel_block")(x, train)
 
         gate_in = jnp.mean(jnp.concatenate([h_feat, w_feat, c_feat], -1), (1, 2))
         g = nn.Dense(C // 4, kernel_init=kaiming_uniform_torch())(gate_in)
