@@ -4,7 +4,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kmunet_tpu.kernels import fused_kanconv, kanconv_reference
+from kmunet_tpu.kernels import (
+    fused_kanconv,
+    hsmssd_compress_op,
+    hsmssd_compress_reference,
+    kanconv_reference,
+)
+
+
+def test_hsmssd_compress_matches_xla(rng):
+    B, L, C, N = 2, 128, 16, 8
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    dt = jnp.asarray(rng.normal(size=(B, L, N)).astype(np.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, L, N)).astype(np.float32))
+    A = jnp.asarray(rng.uniform(1, 16, (N,)).astype(np.float32))
+    ref = hsmssd_compress_reference(x, dt, Bm, A)
+    got = hsmssd_compress_op(x, dt, Bm, A)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    g1 = jax.grad(lambda a: jnp.sum(hsmssd_compress_op(a, dt, Bm, A) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(hsmssd_compress_reference(a, dt, Bm, A) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
 def _setup(rng, B=2, H=16, W=16, C=16, F=16):
