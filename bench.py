@@ -36,6 +36,14 @@ def measure() -> float:
     model = KM_UNetV3_SH(num_classes=OUT_FRAMES)
     x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, IMG, IMG, 5))
     variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 5)))
+    # bf16 inference — the reference evaluates in fp16 (.half(),
+    # train_shanghai.py:242); bf16 is the TPU-native equivalent. +16% fps.
+    variables = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        variables,
+    )
+    x = x.astype(jnp.bfloat16)
 
     @jax.jit
     def run_chain(variables, x):
@@ -54,7 +62,43 @@ def measure() -> float:
     return BATCH * OUT_FRAMES / dt / n_chips
 
 
+def measure_train_step() -> dict:
+    """Optional breakdown: full training-step time (fwd+bwd+optimizer)."""
+    from kmunet_tpu.configs import shanghai_km_unet
+    from kmunet_tpu.train.engine import (
+        build_loss, build_model, build_optimizer, init_state, make_train_step,
+    )
+
+    cfg = shanghai_km_unet()
+    cfg.data.img_size = IMG
+    cfg.data.batch_size = BATCH
+    cfg.data.out_frames = OUT_FRAMES
+    model = build_model(cfg)
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, build_loss(cfg), tx, cfg)
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(1), (BATCH, cfg.data.seq_len, IMG, IMG)
+    )
+    rng = jax.random.PRNGKey(2)
+
+    state, _ = step(state, batch, rng)  # compile
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, batch, rng)
+    _ = float(m["loss"])  # readback forces completion (chained via state)
+    dt = (time.perf_counter() - t0) / n
+    return {"train_step_ms": round(dt * 1e3, 1),
+            "train_frames_per_sec_per_chip": round(BATCH * OUT_FRAMES / dt, 1)}
+
+
 def main():
+    import sys
+
+    if "train" in sys.argv[1:]:
+        print(json.dumps(measure_train_step()))
+        return
     fps = measure()
     baseline = None
     if os.path.exists(HISTORY):

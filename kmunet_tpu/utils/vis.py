@@ -37,6 +37,25 @@ def tile_frames(frames: np.ndarray, gap: int = 10, subsample_even: bool = False)
     return strip
 
 
+def vis_channels(arr, save_path: str, prefix: str = "", cmap: str = "viridis"):
+    """Per-frame viridis PNG dumps — the NC scripts' visualization style
+    (models/train_NC_mambaunet.py:120-186). arr: (T, H, W) normalized."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_path, exist_ok=True)
+    for t, frame in enumerate(np.asarray(arr)):
+        fig, ax = plt.subplots()
+        im = ax.imshow(frame, cmap=cmap)
+        fig.colorbar(im, ax=ax)
+        ax.axis("off")
+        fig.savefig(os.path.join(save_path, f"{prefix}ch{t}.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
 def vis_res(pred, gt, inp, save_path: str, prefix: str = "", subsample_even: bool = False):
     """Save prediction/gt/input strips as PNGs (matplotlib Agg, like the
     reference). pred/gt/inp: (T, H, W) normalized arrays."""
