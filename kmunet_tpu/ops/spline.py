@@ -83,6 +83,63 @@ def cardinal_bspline_basis_flat(
     return jnp.where((t >= 0.0) & (t < 4.0), out, 0.0)
 
 
+def update_grid(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    scaled_spline_weight: jnp.ndarray,
+    spline_order: int = 3,
+    grid_eps: float = 0.02,
+    margin: float = 0.01,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-fit the knot grid to the data distribution and re-fit spline
+    weights so the represented function is preserved on the samples.
+
+    Functional port of the reference's ``KANLinear.update_grid``
+    (convKAN/KANlayers.py:662-709) — defined there but never invoked by any
+    training script; provided here for API completeness.
+
+    Args:
+      x: (batch, in_features) samples.
+      grid: (in_features, grid_size + 2*order + 1) current knots.
+      scaled_spline_weight: (in_features, n_basis, out_features) —
+        spline_weight * scaler, the effective coefficients.
+
+    Returns:
+      (new_grid, new_spline_weight) with the same shapes; the caller should
+      reset the scaler to 1 (the refit absorbs it), as the reference does by
+      writing into ``spline_weight`` directly.
+    """
+    batch, in_features = x.shape
+    grid_size = grid.shape[1] - 2 * spline_order - 1
+
+    # current spline outputs on the samples
+    bases = bspline_basis(x, grid, spline_order)  # (batch, in, nb)
+    unreduced = jnp.einsum("bif,ifo->bio", bases, scaled_spline_weight)
+
+    # adaptive grid: per-feature quantiles of sorted x
+    x_sorted = jnp.sort(x, axis=0)
+    qi = jnp.linspace(0, batch - 1, grid_size + 1).astype(jnp.int32)
+    grid_adaptive = x_sorted[qi]  # (grid_size+1, in)
+    uniform_step = (x_sorted[-1] - x_sorted[0] + 2 * margin) / grid_size
+    grid_uniform = (
+        jnp.arange(grid_size + 1, dtype=x.dtype)[:, None] * uniform_step
+        + x_sorted[0]
+        - margin
+    )
+    g = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
+    ext_lo = g[:1] - uniform_step * jnp.arange(spline_order, 0, -1, dtype=x.dtype)[:, None]
+    ext_hi = g[-1:] + uniform_step * jnp.arange(1, spline_order + 1, dtype=x.dtype)[:, None]
+    new_grid = jnp.concatenate([ext_lo, g, ext_hi], axis=0).T  # (in, K)
+
+    # refit coefficients: per-feature min-norm lstsq of new basis -> outputs
+    A = bspline_basis(x, new_grid, spline_order)  # (batch, in, nb)
+    A_f = A.transpose(1, 0, 2)  # (in, batch, nb)
+    B_f = unreduced.transpose(1, 0, 2)  # (in, batch, out)
+    pinv = jnp.linalg.pinv(A_f)  # (in, nb, batch)
+    new_w = jnp.einsum("inb,ibo->ino", pinv, B_f)
+    return new_grid, new_w
+
+
 def bspline_basis(x: jnp.ndarray, grid: jnp.ndarray, spline_order: int = 3) -> jnp.ndarray:
     """Evaluate the B-spline basis functions at ``x``.
 

@@ -42,6 +42,31 @@ def test_basis_matches_numpy_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_update_grid_preserves_function(rng):
+    """After refitting the grid to data, the spline must reproduce (in
+    least-squares sense) the same outputs on the samples (KANlayers.py:662-709)."""
+    from kmunet_tpu.ops.spline import update_grid
+
+    in_f, out_f, batch = 4, 3, 256
+    grid = make_uniform_grid(in_f)
+    w = jnp.asarray(rng.normal(size=(in_f, 8, out_f)).astype(np.float32) * 0.3)
+    # samples inside the representable range of the old grid
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, size=(batch, in_f)).astype(np.float32))
+
+    old = jnp.einsum("bif,ifo->bio", bspline_basis_j(x, grid), w)
+    new_grid, new_w = update_grid(x, grid, w)
+    new = jnp.einsum("bif,ifo->bio", bspline_basis_j(x, new_grid), new_w)
+    err = float(jnp.abs(new - old).max())
+    assert err < 0.1, err  # LSQ refit residual; same in reference
+    # new interior knots cover the sample range
+    assert float(new_grid[:, 3].max()) <= float(x.min()) + 0.05
+    assert float(new_grid[:, -4].min()) >= float(x.max()) - 0.05
+
+
+def bspline_basis_j(x, grid):
+    return bspline_basis(x, grid, 3)
+
+
 def test_basis_partition_of_unity(rng):
     """Inside the core grid range a B-spline basis sums to 1."""
     grid = make_uniform_grid(4, grid_size=5, spline_order=3)
