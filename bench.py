@@ -71,15 +71,14 @@ def measure_train_step() -> dict:
 
     cfg = shanghai_km_unet()
     cfg.data.img_size = IMG
-    cfg.data.batch_size = BATCH
+    cfg.data.batch_size = 16  # fwd+bwd at B64 exceeds 16G HBM
     cfg.data.out_frames = OUT_FRAMES
     model = build_model(cfg)
     tx = build_optimizer(cfg, steps_per_epoch=100)
     state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
     step = make_train_step(model, build_loss(cfg), tx, cfg)
-    batch = jax.random.uniform(
-        jax.random.PRNGKey(1), (BATCH, cfg.data.seq_len, IMG, IMG)
-    )
+    b = cfg.data.batch_size
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (b, cfg.data.seq_len, IMG, IMG))
     rng = jax.random.PRNGKey(2)
 
     state, _ = step(state, batch, rng)  # compile
@@ -90,7 +89,7 @@ def measure_train_step() -> dict:
     _ = float(m["loss"])  # readback forces completion (chained via state)
     dt = (time.perf_counter() - t0) / n
     return {"train_step_ms": round(dt * 1e3, 1),
-            "train_frames_per_sec_per_chip": round(BATCH * OUT_FRAMES / dt, 1)}
+            "train_frames_per_sec_per_chip": round(b * OUT_FRAMES / dt, 1)}
 
 
 def main():

@@ -61,6 +61,7 @@ class TrainConfig:
     compute_dtype: str = "float32"    # float32 | bfloat16 (AMP analogue)
     resume: bool = False              # restore latest checkpoint from ckpt_dir
     early_stop_patience: int = 0      # 0 = off; epochs without val improvement
+    remat: bool = False               # rematerialize activations (mem << compute)
 
 
 @dataclasses.dataclass

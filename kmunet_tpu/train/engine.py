@@ -157,10 +157,18 @@ def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
             else:
                 params_c = params
             variables = {"params": params_c, "batch_stats": state.batch_stats}
-            out, mutated = model.apply(
-                variables, inp.astype(cdtype), train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
+
+            def fwd(variables, inp_c):
+                return model.apply(
+                    variables, inp_c, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+
+            if cfg.train.remat:
+                # trade FLOPs for HBM: recompute activations in the backward
+                # pass (jax.checkpoint); lets e.g. B64@128^2 train in 16G
+                fwd = jax.checkpoint(fwd)
+            out, mutated = fwd(variables, inp.astype(cdtype))
             pred = _to_btHW(out.astype(jnp.float32), layout)
             new_stats = jax.tree.map(
                 lambda s: s.astype(jnp.float32), mutated["batch_stats"]
@@ -287,24 +295,24 @@ def train_and_evaluate(
 
     for epoch in range(cfg.train.epochs):
         # ---- train ----
-        ep_loss, n_b = 0.0, 0
+        # Losses stay on device until epoch end: a per-step float() readback
+        # costs a ~25 ms host RTT *and* serializes the dispatch pipeline.
+        ep_losses = []
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             state, m = train_step(state, batch, step_rng)
-            ep_loss += float(m["loss"])
-            n_b += 1
+            ep_losses.append(m["loss"])
             global_step += 1
             if max_steps and global_step >= max_steps:
                 break
-        train_loss = ep_loss / max(n_b, 1)
+        train_loss = float(jnp.mean(jnp.stack(ep_losses))) if ep_losses else 0.0
 
         # ---- validate ----
-        v_loss, n_v = 0.0, 0
+        v_losses = []
         for batch in val_loader:
             l, _, _ = eval_step(state, batch)
-            v_loss += float(l)
-            n_v += 1
-        val_loss = v_loss / max(n_v, 1)
+            v_losses.append(l)
+        val_loss = float(jnp.mean(jnp.stack(v_losses))) if v_losses else 0.0
 
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
