@@ -25,7 +25,7 @@ import jax.numpy as jnp
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 IMG = 128
-BATCH = 64  # throughput scales sublinearly but peaks near 64 (see BASELINE.md)
+BATCH = 128  # bf16: 6994 fps @B64 -> 8317 @B128 (see BASELINE.md)
 OUT_FRAMES = 20
 ITERS = 10
 

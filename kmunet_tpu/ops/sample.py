@@ -28,34 +28,69 @@ def bilinear_gather(
 
     Returns:
       ``(B, Ho, Wo, C)``.
+
+    Implementation note (TPU): instead of 4 separate row-gathers (one per
+    bilinear tap) we pre-concatenate the 2x2 neighborhood into a 4C-channel
+    image via cheap shifts and do ONE ``take_along_axis`` with a 4x-wider
+    contiguous innermost dim — TPU gathers move whole rows, so one wide
+    gather beats four narrow ones.
     """
     B, H, W, C = img.shape
     Ho, Wo = x.shape[1:3]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0).astype(img.dtype)[..., None]
-    wy = (y - y0).astype(img.dtype)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
 
-    # Row-gather over flattened spatial: measurably faster on TPU than
-    # multi-operand advanced indexing (one gather dim instead of three).
-    flat = img.reshape(B, H * W, C)
+    if padding_mode == "border":
+        # Pre-clamping the *coordinates* is exactly equivalent to the
+        # reference's per-tap index clamp: for x < 0 both give img[..., 0]
+        # (weights collapse onto the duplicated border pixel), ditto x > W-1.
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0).astype(img.dtype)[..., None]
+        wy = (y - y0).astype(img.dtype)[..., None]
+        x0i = x0.astype(jnp.int32)  # in [0, W-1]
+        y0i = y0.astype(jnp.int32)  # in [0, H-1]
+        # 2x2 patch image with edge-clamped shifts: channel blocks are
+        # [v00 | v01 | v10 | v11] at the gather point (y0, x0).
+        right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        row0 = jnp.concatenate([img, right], axis=-1)
+        row1 = jnp.concatenate([row0[:, 1:], row0[:, -1:]], axis=1)
+        patches = jnp.concatenate([row0, row1], axis=-1)  # (B,H,W,4C)
+        idx = (y0i * W + x0i).reshape(B, Ho * Wo, 1)
+        v = jnp.take_along_axis(patches.reshape(B, H * W, 4 * C), idx, axis=1)
+        v = v.reshape(B, Ho, Wo, 4, C)
+        v00, v01, v10, v11 = v[..., 0, :], v[..., 1, :], v[..., 2, :], v[..., 3, :]
+    else:  # zeros
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0).astype(img.dtype)[..., None]
+        wy = (y - y0).astype(img.dtype)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        # Zero-pad one ring so taps one step outside read true zeros; clamp
+        # the gather index into the padded range and mask every tap (masks
+        # also kill the aliased values of far-outside indices).
+        imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        Hp, Wp = H + 2, W + 2
+        right = jnp.concatenate([imgp[:, :, 1:], imgp[:, :, -1:]], axis=2)
+        row0 = jnp.concatenate([imgp, right], axis=-1)
+        row1 = jnp.concatenate([row0[:, 1:], row0[:, -1:]], axis=1)
+        patches = jnp.concatenate([row0, row1], axis=-1)  # (B,Hp,Wp,4C)
+        xg = jnp.clip(x0i + 1, 0, Wp - 2)
+        yg = jnp.clip(y0i + 1, 0, Hp - 2)
+        idx = (yg * Wp + xg).reshape(B, Ho * Wo, 1)
+        v = jnp.take_along_axis(patches.reshape(B, Hp * Wp, 4 * C), idx, axis=1)
+        v = v.reshape(B, Ho, Wo, 4, C)
 
-    def fetch(yi, xi):
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        idx = (yc * W + xc).reshape(B, Ho * Wo, 1)
-        v = jnp.take_along_axis(flat, idx, axis=1).reshape(B, Ho, Wo, C)
-        if padding_mode == "zeros":
-            inside = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
-            v = v * inside[..., None].astype(img.dtype)
-        return v
+        def mask(yi, xi):
+            inside = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+            return inside[..., None].astype(img.dtype)
 
-    v00 = fetch(y0i, x0i)
-    v01 = fetch(y0i, x0i + 1)
-    v10 = fetch(y0i + 1, x0i)
-    v11 = fetch(y0i + 1, x0i + 1)
+        v00 = v[..., 0, :] * mask(y0i, x0i)
+        v01 = v[..., 1, :] * mask(y0i, x0i + 1)
+        v10 = v[..., 2, :] * mask(y0i + 1, x0i)
+        v11 = v[..., 3, :] * mask(y0i + 1, x0i + 1)
+
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy

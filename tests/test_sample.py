@@ -33,3 +33,25 @@ def test_grid_sample_matches_torch(rng, align_corners, padding_mode):
         padding_mode=padding_mode,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_grid_sample_far_outside(rng, padding_mode):
+    """Coords many pixels outside the image: exercises the clipped-gather
+    aliasing + per-tap masks of the single-gather patch formulation."""
+    B, H, W, C = 2, 6, 5, 3
+    img = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    grid = rng.uniform(-4.0, 4.0, size=(B, 8, 9, 2)).astype(np.float32)
+
+    got = np.asarray(
+        grid_sample_bilinear(
+            jnp.asarray(img), jnp.asarray(grid),
+            align_corners=False, padding_mode=padding_mode,
+        )
+    )
+    want = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear", align_corners=False, padding_mode=padding_mode,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
