@@ -1,0 +1,180 @@
+"""MXU-matmul bilinear gather (Pallas) — border mode, bf16 fast path.
+
+Replaces the XLA row-gather in ``ops/sample.py`` for the hot DySample /
+resize / warp paths. TPU gathers are row-granular and run ~100x off memory
+speed-of-light at these shapes (measured: 73 ms for the dec3 DySample at
+B64); Mosaic's ``tpu.dynamic_gather`` only shuffles within one vreg, so a
+real gather kernel is not expressible. Instead we exploit that bilinear
+sampling is *linear* in the source and separable per axis:
+
+    out[p, c] = sum_sy wyrow[p, sy] * sum_sx wxrow[p, sx] * src[sy, sx, c]
+
+with wyrow/wxrow having exactly two nonzeros each (the taps). Per output
+tile this becomes three MXU matmuls and one elementwise multiply:
+
+    s1   = wyrow (TT, H)  @ src (H, W*C)          # row interpolation
+    wsel = wxrow (TT, W)  @ E (W, W*C)            # expand col taps to lanes
+    out  = (s1 * wsel)    @ M (W*C, C)            # compact lane blocks
+
+E / M are constant 0/1 matrices (lane-block expansion / channel
+compaction). No gather instructions at all — the "index" only ever appears
+as an iota comparison when building the two-tap weight rows. Measured at
+the dec3 DySample shape (BG=256, 64->128 upsample, C=16): 30 ms vs 73 ms
+for the wide XLA row-gather (bf16, chained timing).
+
+Border-mode coordinate pre-clamping makes tap weights at the image edge
+exactly zero, so no in-kernel clamping is needed (see ops/sample.py).
+
+The eq-masks are built with integer arithmetic (max(0, 1-|i-j|)) because
+bool vectors hit a Mosaic relayout bug ("Non-singleton logical dimension
+is replicated...") as of jax 0.9.0.
+
+Precision: matmuls run at native MXU bf16; the fast path therefore only
+engages for bf16/f16 inputs (f32 callers keep the bit-exact XLA path).
+Backward: custom VJP recomputes through the XLA formulation (scatter-add
+grads), so training semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+# Per-tile VMEM budget: 3 f32 intermediates of (TT, W*C) must fit in the
+# ~16 MB scoped window together with src and the constants.
+_VMEM_BUDGET_ELEMS = 1 << 20  # TT * W*C <= 1M  (3 x 4 MB f32)
+
+
+def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, e_ref, m_ref, src_ref, out_ref,
+            *, tt, hs, w, c):
+    wc = w * c
+    dt = src_ref.dtype
+    y0 = y0_ref[0, 0]            # (TT, 1) i32
+    x0 = x0_ref[0, 0]
+    wy = wy_ref[0, 0]            # (TT, 1)
+    wx = wx_ref[0, 0]
+    src = src_ref[0]             # (H, W*C)
+    e = e_ref[...]               # (W, W*C)
+    m = m_ref[...]               # (W*C, C)
+
+    def eqf(ia, ib):             # 1.0 where ia == ib (no bool vectors)
+        return jnp.maximum(1 - jnp.abs(ia - ib), 0).astype(jnp.float32)
+
+    ih = jax.lax.broadcasted_iota(jnp.int32, (tt, hs), 1)
+    y0b = jnp.broadcast_to(y0, (tt, hs))
+    wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
+    wyrow = (eqf(ih, y0b) * (1.0 - wyb) + eqf(ih, y0b + 1) * wyb).astype(dt)
+    s1 = jax.lax.dot_general(wyrow, src, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    iw = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 1)
+    x0b = jnp.broadcast_to(x0, (tt, w))
+    wxb = jnp.broadcast_to(wx, (tt, w)).astype(jnp.float32)
+    wxrow = (eqf(iw, x0b) * (1.0 - wxb) + eqf(iw, x0b + 1) * wxb).astype(dt)
+    wsel = jax.lax.dot_general(wxrow, e, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    out = jax.lax.dot_general((s1 * wsel).astype(dt), m,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(dt)
+
+
+def supported(img_shape, dtype, interpret: bool = False) -> bool:
+    """Fast path only for 16-bit dtypes on TPU (or interpret for tests)."""
+    B, H, W, C = img_shape
+    if dtype not in (jnp.bfloat16, jnp.float16):
+        if not interpret:
+            return False
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if H < 2 or W < 2 or W * C > _VMEM_BUDGET_ELEMS // 256:
+        return False  # need TT >= 256 within the VMEM budget
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_bilinear_border(img, x, y, interpret=False):
+    """Bilinear sample at border-clamped pixel coords (Pallas MXU path).
+
+    Args/semantics identical to ``ops.sample.bilinear_gather`` with
+    ``padding_mode='border'``: img (B, H, W, C), x/y (B, Ho, Wo).
+    """
+    return _forward(img, x, y, interpret)
+
+
+def _xla_reference(img, x, y):
+    from kmunet_tpu.ops.sample import bilinear_gather
+
+    return bilinear_gather(img, x, y, padding_mode="border")
+
+
+def _forward(img, x, y, interpret):
+    B, H, W, C = img.shape
+    Ho, Wo = x.shape[1:3]
+    WC = W * C
+    T = Ho * Wo
+    dt = img.dtype
+
+    # Tile size: largest power of two <= 1024 that fits VMEM and divides T
+    # (after padding T up to a tile multiple).
+    tt = 1024
+    while tt * WC > _VMEM_BUDGET_ELEMS and tt > 256:
+        tt //= 2
+    tpad = (-T) % tt
+    ntt = (T + tpad) // tt
+
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dt).reshape(B, T)
+    wy = (y - y0).astype(dt).reshape(B, T)
+    x0 = x0.astype(jnp.int32).reshape(B, T)
+    y0 = y0.astype(jnp.int32).reshape(B, T)
+    if tpad:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, tpad)))  # noqa: E731
+        x0, y0, wx, wy = pad(x0), pad(y0), pad(wx), pad(wy)
+
+    e = jnp.asarray(
+        (np.arange(W)[:, None] == np.arange(WC)[None, :] // C), dt
+    )
+    m = jnp.asarray(
+        (np.arange(WC)[:, None] % C == np.arange(C)[None, :]), dt
+    )
+    r4 = lambda a: a.reshape(B, ntt, tt, 1)  # noqa: E731
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tt=tt, hs=H, w=W, c=C),
+        grid=(B, ntt),
+        in_specs=[
+            pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((W, WC), lambda b, t: (0, 0)),
+            pl.BlockSpec((WC, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tt, C), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntt * tt, C), dt),
+        interpret=interpret,
+    )(r4(y0), r4(x0), r4(wy), r4(wx), e, m, img.reshape(B, H, WC))
+    return out[:, :T].reshape(B, Ho, Wo, C)
+
+
+def _fwd(img, x, y, interpret):
+    return _forward(img, x, y, interpret), (img, x, y)
+
+
+def _bwd(interpret, res, g):
+    img, x, y = res
+    _, vjp = jax.vjp(_xla_reference, img, x, y)
+    return vjp(g)
+
+
+gather_bilinear_border.defvjp(_fwd, _bwd)

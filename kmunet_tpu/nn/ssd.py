@@ -59,12 +59,18 @@ class HSMSSD(nn.Module):
             f, use_bias=False, kernel_init=kaiming_uniform_torch(), name=name
         )
 
-        bcdt = dense(3 * N, "BCdt_proj")(x)  # (B, L, 3N)
-        bcdt = bcdt.reshape(B, side, side, 3 * N)
-        bcdt = nn.Conv(
-            3 * N, (3, 3), padding="SAME", feature_group_count=3 * N,
-            use_bias=False, kernel_init=kaiming_uniform_torch(), name="dw",
-        )(bcdt)
+        # BCdt = DWConv3x3(1x1Conv(x)). Both are linear and bias-free, so they
+        # compose exactly into ONE 3x3 conv with the rank-1 kernel
+        # k[i,j,c,n] = proj[c,n] * dw[i,j,n] — one MXU pass instead of a 1x1
+        # matmul + a VPU depthwise, and the (B, L, 3N) intermediate (12x wider
+        # than x at stage 1) is never materialized in HBM.
+        proj_k = self.param("BCdt_proj_kernel", kaiming_uniform_torch(), (C, 3 * N))
+        dw_k = self.param("dw_kernel", kaiming_uniform_torch(), (3, 3, 1, 3 * N))
+        comp = (proj_k[None, None] * dw_k).astype(x.dtype)  # (3,3,C,3N)
+        bcdt = jax.lax.conv_general_dilated(
+            x.reshape(B, side, side, C), comp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         bcdt = bcdt.reshape(B, L, 3 * N)
         Bm, Cm, dt = jnp.split(bcdt, 3, axis=-1)  # each (B, L, N)
 

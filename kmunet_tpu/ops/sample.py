@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Border-mode fast path: MXU-matmul bilinear kernel (kernels/bilinear_pallas).
+# None = auto (TPU + 16-bit dtypes only); True/False to force. The Pallas
+# custom-call does not partition under GSPMD — force False if the sampled
+# tensor itself is sharded over a spatial mesh axis.
+USE_PALLAS_GATHER: bool | None = None
+
 
 def bilinear_gather(
     img: jnp.ndarray,
@@ -37,6 +43,12 @@ def bilinear_gather(
     """
     B, H, W, C = img.shape
     Ho, Wo = x.shape[1:3]
+
+    if padding_mode == "border" and USE_PALLAS_GATHER is not False:
+        from kmunet_tpu.kernels import bilinear_pallas
+
+        if USE_PALLAS_GATHER or bilinear_pallas.supported(img.shape, img.dtype):
+            return bilinear_pallas.gather_bilinear_border(img, x, y)
 
     if padding_mode == "border":
         # Pre-clamping the *coordinates* is exactly equivalent to the

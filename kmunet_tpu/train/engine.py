@@ -244,6 +244,13 @@ def train_and_evaluate(
     mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.spatial, cfg.mesh.model))
     data_sh = batch_sharding(mesh, ndim=4)
 
+    if cfg.mesh.spatial > 1:
+        # The Pallas bilinear custom-call does not partition under GSPMD;
+        # with H sharded over the 'spatial' axis fall back to the XLA gather.
+        from kmunet_tpu.ops import sample as _sample
+
+        _sample.USE_PALLAS_GATHER = False
+
     train_ds, val_ds, test_ds = build_datasets(cfg)
     loader = lambda ds, shuffle: DataLoader(  # noqa: E731
         ds, cfg.data.batch_size, shuffle=shuffle, seed=cfg.train.seed,

@@ -68,3 +68,55 @@ def test_fused_kanconv_matches_kanconv_module(rng):
     ).reshape(3, 3, C * 8, F)
     got = fused_kanconv(xp, params["base_kernel"], sk_flat)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestBilinearPallas:
+    """MXU-matmul bilinear gather (kernels/bilinear_pallas) vs the XLA path,
+    in interpret mode on CPU."""
+
+    def _coords(self, rng, B, H, W, Ho, Wo):
+        # include out-of-range coords: border pre-clamp must match XLA path
+        x = rng.uniform(-1.5, W + 1.5, (B, Ho, Wo)).astype(np.float32)
+        y = rng.uniform(-1.5, H + 1.5, (B, Ho, Wo)).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def test_matches_xla_border(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+
+        B, H, W, C, Ho, Wo = 2, 7, 9, 4, 11, 5  # T=55: exercises tile padding
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x, y = self._coords(rng, B, H, W, Ho, Wo)
+        got = gather_bilinear_border(img, x, y, True)
+        want = bilinear_gather(img, x, y, padding_mode="border")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_upsample_shape_matches_xla(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+
+        B, H, W, C = 3, 8, 8, 8  # 2x upsample, T=1024 exact tile
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x, y = self._coords(rng, B, H, W, 16, 16)
+        got = gather_bilinear_border(img, x, y, True)
+        want = bilinear_gather(img, x, y, padding_mode="border")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_grads_match_xla(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+
+        B, H, W, C = 1, 6, 5, 3
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x, y = self._coords(rng, B, H, W, 4, 7)
+
+        def loss(fn, img_, x_, y_):
+            return jnp.sum(fn(img_, x_, y_) ** 2)
+
+        g1 = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda i, a, b: gather_bilinear_border(i, a, b, True), img, x, y)
+        g2 = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda i, a, b: bilinear_gather(i, a, b, padding_mode="border"),
+            img, x, y)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

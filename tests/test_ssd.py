@@ -28,10 +28,10 @@ def test_hsmssd_matches_oracle(rng):
 
     p = jax.tree.map(np.asarray, params["params"])
     xb = x.astype(np.float64)
-    bcdt = xb @ p["BCdt_proj"]["kernel"]  # (B, L, 3N)
+    bcdt = xb @ p["BCdt_proj_kernel"]  # (B, L, 3N)
     # depthwise 3x3 SAME conv on (B, side, side, 3N)
     bc = bcdt.reshape(B, side, side, 3 * N)
-    kern = p["dw"]["kernel"]  # (3,3,1,3N)
+    kern = p["dw_kernel"]  # (3,3,1,3N)
     pad = np.pad(bc, ((0, 0), (1, 1), (1, 1), (0, 0)))
     conv = np.zeros_like(bc)
     for kh in range(3):
