@@ -33,6 +33,9 @@ class DataConfig:
     value_scale: float = 90.0
     thresholds: Sequence[float] = (20, 30, 35, 40)
     synthetic_length: int = 64
+    lpips_weights: Optional[str] = None  # .npz from metrics/lpips.py converters;
+                                         # without it LPIPS reports "needs weights"
+                                         # (reference downloads AlexNet, metrics.py:37-39)
 
 
 @dataclasses.dataclass
@@ -62,6 +65,11 @@ class TrainConfig:
     resume: bool = False              # restore latest checkpoint from ckpt_dir
     early_stop_patience: int = 0      # 0 = off; epochs without val improvement
     remat: bool = False               # rematerialize activations (mem << compute)
+    out_dir: Optional[str] = None     # if set: vis PNGs + scatter CSV land here
+    vis_batches: int = 10             # test-time PNG dumps for first N batches
+                                      # (train_shanghai.py:258-268; needs out_dir)
+    scatter_eval: bool = False        # LAPS/NC flattened per-threshold metrics
+                                      # (train_LAPS.py:274-331)
 
 
 @dataclasses.dataclass
@@ -95,7 +103,7 @@ def laps_km_unet() -> ExperimentConfig:
             value_scale=1.0, thresholds=(0.1, 0.3, 0.5, 0.7, 0.8),
         ),
         model=ModelConfig(variant="laps", num_classes=3),
-        train=TrainConfig(),
+        train=TrainConfig(scatter_eval=True),
     )
 
 

@@ -142,4 +142,12 @@ class Evaluator:
             "RMSE": rmse,
             "SSIM": ssim,
             "LPIPS": lpips,
+            # Explicit status instead of a silently-NaN metric: the reference
+            # always reports real LPIPS because it downloads AlexNet weights
+            # (metrics.py:37-39); this environment has no egress, so the value
+            # is only real when --data.lpips_weights points at a converted npz.
+            "LPIPS_status": (
+                "ok" if self.lpips_fn is not None
+                else "needs weights (--data.lpips_weights=<npz>, see metrics/lpips.py)"
+            ),
         }

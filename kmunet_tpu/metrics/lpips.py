@@ -103,23 +103,49 @@ def make_lpips_fn(weights_path: Optional[str] = None):
     return fn
 
 
-def convert_torch_lpips(out_path: str) -> None:  # pragma: no cover
-    """Offline converter: torch lpips checkpoint -> npz (requires torch +
-    the lpips package with downloaded weights; run outside this sandbox)."""
-    import torch
-    import lpips as lpips_pkg
+# lpips v0.1 'alex' state_dict key names: the package builds each slice with
+# the GLOBAL torchvision-alexnet feature indices as child names
+# (lpips/pretrained_networks.py: slice2.add_module(str(x), features[x]) for
+# x in range(2,5)), so the 5 conv layers live at these keys:
+_TORCH_CONV_KEYS = [
+    "net.slice1.0", "net.slice2.3", "net.slice3.6", "net.slice4.8", "net.slice5.10",
+]
+_TORCH_LIN_KEYS = [f"lin{i}.model.1" for i in range(5)]
 
-    m = lpips_pkg.LPIPS(net="alex")
+
+def convert_lpips_state_dict(state_dict: dict) -> dict:
+    """Map a torch ``lpips.LPIPS(net='alex')`` state_dict (tensors or numpy
+    arrays) to this module's npz param naming/layout (HWIO convs).
+
+    Accepts the full-module dict (``torch.save(lpips.LPIPS(net='alex')
+    .state_dict(), p)``); the official alex.pth shard alone holds only the
+    lin heads — the AlexNet convs must be present too.
+    """
+    def npy(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
     params = {}
-    convs = [l for l in m.net.slice1] + [l for l in m.net.slice2] + \
-            [l for l in m.net.slice3] + [l for l in m.net.slice4] + \
-            [l for l in m.net.slice5]
-    ci = 0
-    for layer in convs:
-        if isinstance(layer, torch.nn.Conv2d):
-            params[f"conv{ci}_w"] = layer.weight.detach().numpy().transpose(2, 3, 1, 0)
-            params[f"conv{ci}_b"] = layer.bias.detach().numpy()
-            ci += 1
-    for i, lin in enumerate(m.lins):
-        params[f"lin{i}_w"] = lin.model[1].weight.detach().numpy().transpose(2, 3, 1, 0)
-    np.savez(out_path, **params)
+    for ci, key in enumerate(_TORCH_CONV_KEYS):
+        params[f"conv{ci}_w"] = npy(state_dict[f"{key}.weight"]).transpose(2, 3, 1, 0)
+        params[f"conv{ci}_b"] = npy(state_dict[f"{key}.bias"])
+    for i, key in enumerate(_TORCH_LIN_KEYS):
+        params[f"lin{i}_w"] = npy(state_dict[f"{key}.weight"]).transpose(2, 3, 1, 0)
+    return params
+
+
+def convert_torch_lpips(out_path: str, state_dict_path: Optional[str] = None) -> None:
+    """Offline converter: torch lpips checkpoint -> npz.
+
+    With ``state_dict_path``: load a saved ``LPIPS(net='alex').state_dict()``
+    (.pth) — needs only torch. Without it: instantiate the lpips package
+    (downloads pretrained weights; run outside this sandbox).
+    """
+    import torch
+
+    if state_dict_path is not None:
+        sd = torch.load(state_dict_path, map_location="cpu")
+    else:  # pragma: no cover — needs egress
+        import lpips as lpips_pkg
+
+        sd = lpips_pkg.LPIPS(net="alex").state_dict()
+    np.savez(out_path, **convert_lpips_state_dict(sd))

@@ -244,12 +244,9 @@ def train_and_evaluate(
     mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.spatial, cfg.mesh.model))
     data_sh = batch_sharding(mesh, ndim=4)
 
-    if cfg.mesh.spatial > 1:
-        # The Pallas bilinear custom-call does not partition under GSPMD;
-        # with H sharded over the 'spatial' axis fall back to the XLA gather.
-        from kmunet_tpu.ops import sample as _sample
-
-        _sample.USE_PALLAS_GATHER = False
+    # NB: the Pallas bilinear kernel composes with spatial sharding via
+    # custom_partitioning (kernels/bilinear_pallas.py::_partitioned_forward);
+    # no escape hatch is needed when cfg.mesh.spatial > 1.
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
     loader = lambda ds, shuffle: DataLoader(  # noqa: E731
@@ -343,18 +340,53 @@ def train_and_evaluate(
             break
 
     # ---- test: CSI/POD/HSS/FAR/RMSE/SSIM via the streaming evaluator ----
+    from kmunet_tpu.metrics.lpips import make_lpips_fn
+
     evaluator = Evaluator(
         seq_len=cfg.data.out_frames,
         value_scale=cfg.data.value_scale,
         thresholds=tuple(cfg.data.thresholds),
+        lpips_fn=make_lpips_fn(cfg.data.lpips_weights),
     )
+    out_dir = cfg.train.out_dir
+    vis_dir = os.path.join(out_dir, "vis") if out_dir else None
+    scatter_gts: list = []
+    scatter_preds: list = []
     t_loss, n_t = 0.0, 0
-    for batch in test_loader:
+    for bi, batch in enumerate(test_loader):
         l, pred, tgt = eval_step(state, batch)
         evaluator.evaluate(tgt, pred)
         t_loss += float(l)
         n_t += 1
+        if cfg.train.scatter_eval:
+            # LAPS/NC second metrics path flattens ALL preds/gts
+            # (train_LAPS.py:274-331); accumulate on host, clipped like the
+            # reference's .clip(0, 1) readback.
+            scatter_preds.append(np.asarray(pred, np.float32).clip(0, 1))
+            scatter_gts.append(np.asarray(tgt, np.float32).clip(0, 1))
+        if vis_dir and bi < cfg.train.vis_batches:
+            # Reference dumps prediction/gt/input strips for every sample of
+            # the first 10 test batches (train_shanghai.py:258-268).
+            from kmunet_tpu.utils.vis import vis_res
+
+            pred_np = np.asarray(pred, np.float32).clip(0, 1)
+            tgt_np = np.asarray(tgt, np.float32).clip(0, 1)
+            inp_np = np.asarray(batch[:, : cfg.data.in_frames], np.float32).clip(0, 1)
+            for si in range(pred_np.shape[0]):
+                vis_res(
+                    pred_np[si], tgt_np[si], inp_np[si],
+                    os.path.join(vis_dir, f"batch_{bi}_sample_{si}"),
+                )
     results = evaluator.done() if n_t else {}
+    if cfg.train.scatter_eval and scatter_gts:
+        from kmunet_tpu.metrics.scatter_eval import scatter_evaluate
+
+        results["scatter"] = scatter_evaluate(
+            np.concatenate(scatter_gts),
+            np.concatenate(scatter_preds),
+            thresholds=tuple(cfg.data.thresholds),
+            csv_path=os.path.join(out_dir, "scatter_metrics.csv") if out_dir else None,
+        )
     results["test_loss"] = t_loss / max(n_t, 1)
     results["history"] = history
     results["steps"] = global_step
