@@ -12,9 +12,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # Border-mode fast path: MXU-matmul bilinear kernel (kernels/bilinear_pallas).
-# None = auto (TPU + 16-bit dtypes only); True/False to force. The Pallas
-# custom-call does not partition under GSPMD — force False if the sampled
-# tensor itself is sharded over a spatial mesh axis.
+# None = auto (TPU + 16-bit dtypes only); True/False to force. The kernel is
+# GSPMD/shardy-partitionable (custom_partitioning: output/coords shard over
+# batch and output rows; the source image all-gathers over 'spatial'), so it
+# composes with data AND spatial mesh sharding.
 USE_PALLAS_GATHER: bool | None = None
 
 

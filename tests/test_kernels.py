@@ -120,3 +120,42 @@ class TestBilinearPallas:
             img, x, y)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestBilinearPallasSharded:
+    """The kernel must compose with data AND spatial sharding under jit
+    (custom_partitioning; VERDICT r1 weak #3). Runs interpret-mode on the
+    8-CPU mesh: coords/output sharded over ('data','spatial'), the sampled
+    image all-gathered over 'spatial' by the partitioner."""
+
+    def _run(self, rng, spec):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+        from kmunet_tpu.parallel import MeshSpec, make_mesh
+
+        mesh = make_mesh(spec)
+        B, H, W, C, Ho, Wo = 4, 8, 8, 4, 16, 16
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(-1.0, W + 1.0, (B, Ho, Wo)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1.0, H + 1.0, (B, Ho, Wo)).astype(np.float32))
+        img_sh = jax.device_put(img, NamedSharding(mesh, P("data", None, None, None)))
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("data", "spatial", None)))
+        y_sh = jax.device_put(y, NamedSharding(mesh, P("data", "spatial", None)))
+
+        got = jax.jit(lambda i, a, b: gather_bilinear_border(i, a, b, True))(
+            img_sh, x_sh, y_sh
+        )
+        want = bilinear_gather(img, x, y, padding_mode="border")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_dp4_sp2(self, rng):
+        from kmunet_tpu.parallel import MeshSpec
+
+        self._run(rng, MeshSpec(4, 2, 1))
+
+    def test_dp2_sp4(self, rng):
+        from kmunet_tpu.parallel import MeshSpec
+
+        self._run(rng, MeshSpec(2, 4, 1))
