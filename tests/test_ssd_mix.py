@@ -1,0 +1,72 @@
+"""Fused HSM-SSD mixer kernel (kernels/ssd_mix_pallas.py) parity.
+
+The kernel is exact vs the XLA formulation (online-softmax statistics are
+algebraically lossless: softmax_L(s) = e/d and h is linear in A, so dividing
+the accumulated hT by d afterwards reproduces the normalized compress).
+Runs interpret-mode on CPU. Perf status: see the kernel docstring — it loses
+to XLA's fusion in this environment (DMA floor) and is NOT the model's fast
+path; these tests keep it correct as a tuning base.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmunet_tpu.kernels.ssd_mix_pallas import (
+    hsmssd_mix,
+    hsmssd_mix_op,
+    hsmssd_mix_reference,
+)
+
+
+def _inputs(rng, B=2, C=8, L=64, N=16, dtype=np.float32):
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(dtype))  # noqa: E731
+    return dict(
+        xt=r(B, C, L), dt=r(B, L, N), Bm=r(B, L, N), Cm=r(B, L, N),
+        A_param=r(N), w_hz=r(C, 2 * C), w_out=r(C, C),
+        D=jnp.asarray(np.float32(0.37)),
+    )
+
+
+class TestSSDMixKernel:
+    def test_forward_parity(self, rng):
+        kw = _inputs(rng)
+        yt, h2 = hsmssd_mix(**kw, interpret=True)
+        yt_ref, h2_ref = hsmssd_mix_reference(**kw)
+        np.testing.assert_allclose(np.asarray(yt), np.asarray(yt_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h2_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_parity_multi_tile(self, rng):
+        # L=256 -> several online-softmax tiles; exercises the running
+        # max/denom rescale path.
+        kw = _inputs(rng, B=1, C=8, L=256, N=16)
+        yt, h2 = hsmssd_mix(**kw, interpret=True)
+        yt_ref, h2_ref = hsmssd_mix_reference(**kw)
+        np.testing.assert_allclose(np.asarray(yt), np.asarray(yt_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h2_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("wrt", [0, 1, 4, 5])
+    def test_vjp_matches_reference(self, rng, wrt):
+        kw = _inputs(rng, B=1, C=4, L=32, N=8)
+        args = (kw["xt"], kw["dt"], kw["Bm"], kw["Cm"], kw["A_param"],
+                kw["w_hz"], kw["w_out"], kw["D"])
+
+        def f_kernel(a):
+            new = args[:wrt] + (a,) + args[wrt + 1:]
+            yt, h2 = hsmssd_mix_op(*new, True)
+            return jnp.sum(yt**2) + jnp.sum(h2)
+
+        def f_ref(a):
+            new = args[:wrt] + (a,) + args[wrt + 1:]
+            yt, h2 = hsmssd_mix_reference(*new)
+            return jnp.sum(yt**2) + jnp.sum(h2)
+
+        g_kernel = jax.grad(f_kernel)(args[wrt])
+        g_ref = jax.grad(f_ref)(args[wrt])
+        np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
