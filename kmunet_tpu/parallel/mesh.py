@@ -53,11 +53,27 @@ class MeshSpec:
 def make_mesh(
     spec: MeshSpec | None = None,
     devices: Optional[Sequence[jax.Device]] = None,
+    allow_spatial_with_model: bool = False,
 ) -> Mesh:
-    """Build a ('data', 'spatial', 'model') mesh over the available devices."""
+    """Build a ('data', 'spatial', 'model') mesh over the available devices.
+
+    Meshes with BOTH spatial>1 and model>1 are refused by default: the XLA
+    SPMD partitioner (jax 0.9) silently doubles halo-exchange conv weight
+    gradients in that layout (see ``param_sharding_rules`` docstring and
+    tests/test_sharding_parity.py::test_sp2_model2_upstream_miscompile).
+    Pass ``allow_spatial_with_model=True`` only to reproduce/diagnose that.
+    """
     spec = spec or MeshSpec()
     devices = list(devices if devices is not None else jax.devices())
     d, s, m = spec.resolve(len(devices))
+    if s > 1 and m > 1 and not allow_spatial_with_model:
+        raise ValueError(
+            f"mesh (data={d}, spatial={s}, model={m}): combining spatial>1 "
+            "with model>1 is disabled — the XLA SPMD partitioner miscompiles "
+            "halo-exchange conv weight grads (exactly 2x) in this layout. "
+            "Use dp x spatial or dp x model, or pass "
+            "allow_spatial_with_model=True to override."
+        )
     arr = np.array(devices).reshape(d, s, m)
     return Mesh(arr, axis_names=("data", "spatial", "model"))
 
@@ -79,19 +95,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rules(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
+def param_sharding_rules(
+    mesh: Mesh, params: Any, fsdp: bool = False, min_size: int = 4096
+) -> Any:
     """Sharding pytree for parameters.
 
     With ``fsdp=False`` (the v1 default) every parameter is replicated: the
     models are small (<2M params) so DP + replicated params is optimal.
-    With ``fsdp=True``, parameters whose largest dim is divisible by the
-    'model' axis size are sharded along it (ZeRO-3 style); the rest stay
-    replicated. XLA all-gathers them at use sites.
+    With ``fsdp=True``, parameters with ndim >= 2 and at least ``min_size``
+    elements whose largest dim is divisible by the 'model' axis size are
+    sharded along it (ZeRO-3 style); the rest stay replicated. XLA
+    all-gathers them at use sites.
+
+    The ndim/min_size guard is standard FSDP practice: sharding a bias or a
+    720-element stem kernel saves nothing and costs an all-gather.
+
+    KNOWN UPSTREAM LIMITATION (jax 0.9 / XLA SPMD partitioner, observed on
+    the 8-virtual-CPU mesh): combining spatial>1 AND model>1 in one mesh
+    miscompiles the weight gradients of halo-exchange convolutions (spatial
+    kernels > 1x1 on H-sharded activations) to EXACTLY 2x — even when every
+    parameter is replicated and the 'model' axis is completely unused; the
+    forward/loss stays bit-correct, which makes it silent. dp x spatial and
+    dp x model(FSDP) meshes are each numerically proven
+    (tests/test_sharding_parity.py); ``make_mesh`` refuses the combined
+    layout unless explicitly overridden.
     """
     model_size = mesh.shape["model"]
 
     def rule(p):
-        if not fsdp or model_size == 1 or not hasattr(p, "shape") or p.ndim == 0:
+        if (
+            not fsdp or model_size == 1 or not hasattr(p, "shape")
+            or p.ndim < 2 or p.size < min_size
+        ):
             return replicated(mesh)
         dims = list(p.shape)
         axis = int(np.argmax(dims))
