@@ -1,7 +1,14 @@
 """Benchmark: nowcast frames/sec/chip for KM_UNetV3 at 128x128, 5-in/20-out.
 
-Prints ONE JSON line:
+Default mode prints ONE JSON line (driver contract):
     {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+
+Other modes:
+    python bench.py train   # full training-step time (fwd+bwd+optimizer)
+    python bench.py zoo     # per-model table over the BASELINE.json configs
+                            # (ConvLSTM, TrajGRU, TransUNet, Swin, Mamba-UNet,
+                            # KM-UNetV3 + the rest of the zoo) with MFU
+    python bench.py roof    # matmul roofline calibration (bf16 + fp32)
 
 Timing methodology: this environment's remote-TPU tunnel does not honor
 ``block_until_ready`` (dispatch returns immediately and "blocking" is a
@@ -30,6 +37,38 @@ OUT_FRAMES = 20
 ITERS = 10
 
 
+def _bf16_tree(tree):
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def _chain_time(apply_fn, *xs, iters=ITERS):
+    @jax.jit
+    def run_chain(*xs):
+        def body(i, carry):
+            y = apply_fn(*[x * (1.0 + 1e-20 * carry) if hasattr(x, "dtype") else x
+                           for x in xs])
+            return carry + jnp.mean(y.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(run_chain(*xs))  # compile + warm
+    t0 = time.perf_counter()
+    float(run_chain(*xs))  # readback forces completion
+    return (time.perf_counter() - t0) / iters
+
+
+def matmul_roof(dtype=jnp.bfloat16, n=4096, iters=20) -> float:
+    """Measured matmul TFLOP/s at the given dtype (the achievable roof)."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dtype)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), dtype)
+    dt = _chain_time(lambda a, b: (a @ b), a, b, iters=iters)
+    return 2 * n**3 / dt / 1e12
+
+
 def measure() -> float:
     from kmunet_tpu.models import KM_UNetV3_SH
 
@@ -38,26 +77,9 @@ def measure() -> float:
     variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 5)))
     # bf16 inference — the reference evaluates in fp16 (.half(),
     # train_shanghai.py:242); bf16 is the TPU-native equivalent. +16% fps.
-    variables = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p,
-        variables,
-    )
+    variables = _bf16_tree(variables)
     x = x.astype(jnp.bfloat16)
-
-    @jax.jit
-    def run_chain(variables, x):
-        def body(i, carry):
-            y = model.apply(variables, x * (1.0 + 1e-20 * carry))
-            return carry + jnp.mean(y)
-
-        return jax.lax.fori_loop(0, ITERS, body, 0.0)
-
-    float(run_chain(variables, x))  # compile + warm
-    t0 = time.perf_counter()
-    float(run_chain(variables, x))  # readback forces completion
-    dt = (time.perf_counter() - t0) / ITERS
-
+    dt = _chain_time(lambda v, xx: model.apply(v, xx), variables, x)
     n_chips = max(jax.device_count(), 1)
     return BATCH * OUT_FRAMES / dt / n_chips
 
@@ -92,11 +114,73 @@ def measure_train_step() -> dict:
             "train_frames_per_sec_per_chip": round(b * OUT_FRAMES / dt, 1)}
 
 
+# Per-model zoo configs: (batch, layout). Sequence models (ConvLSTM/TrajGRU)
+# carry a 20-step recurrent decode and a 64^2 RNN state ladder -> smaller B.
+ZOO = {
+    "km_unet_v3": 128,
+    "smaat_unet": 128,
+    "lptqpn": 64,
+    "sceca_net": 64,
+    "transunet": 32,
+    "swin_unet": 32,
+    "mamba_unet": 64,
+    "convlstm": 16,
+    "trajgru": 16,
+}
+
+
+def measure_zoo(img=IMG, out_frames=OUT_FRAMES) -> list[dict]:
+    from kmunet_tpu.configs import ModelConfig
+    from kmunet_tpu.models import zoo
+    from kmunet_tpu.models.zoo import SEQUENCE_MODELS
+    from kmunet_tpu.utils.flops import flops_of
+
+    roof = matmul_roof(jnp.bfloat16)
+    rows = []
+    for name, batch in ZOO.items():
+        extra = {}
+        if name in ("transunet", "swin_unet"):
+            extra = {"img_size": img}
+        model = zoo.build(ModelConfig(name=name, num_classes=out_frames, extra=extra))
+        if name in SEQUENCE_MODELS:
+            shape = (batch, 5, img, img)
+        else:
+            shape = (batch, img, img, 5)
+        x = jax.random.uniform(jax.random.PRNGKey(0), shape)
+        variables = _bf16_tree(model.init(jax.random.PRNGKey(1), jnp.zeros((1,) + shape[1:])))
+        x = x.astype(jnp.bfloat16)
+        fn = lambda v, xx: model.apply(v, xx)  # noqa: E731
+        dt = _chain_time(fn, variables, x)
+        fps = batch * out_frames / dt
+        cost = flops_of(fn, variables, x)
+        tflops = cost["flops"] / dt / 1e12
+        rows.append({
+            "model": name, "batch": batch, "img": img,
+            "ms": round(dt * 1e3, 1),
+            "frames_per_sec_per_chip": round(fps, 1),
+            "gflops_fwd": round(cost["flops"] / 1e9, 1),
+            "achieved_tflops": round(tflops, 2),
+            "mfu_pct_of_bf16_roof": round(100 * tflops / roof, 1),
+        })
+        print(json.dumps(rows[-1]))
+    print(json.dumps({"bf16_matmul_roof_tflops": round(roof, 1)}))
+    return rows
+
+
 def main():
     import sys
 
     if "train" in sys.argv[1:]:
         print(json.dumps(measure_train_step()))
+        return
+    if "zoo" in sys.argv[1:]:
+        measure_zoo()
+        return
+    if "roof" in sys.argv[1:]:
+        print(json.dumps({
+            "bf16_matmul_roof_tflops": round(matmul_roof(jnp.bfloat16), 1),
+            "fp32_matmul_roof_tflops": round(matmul_roof(jnp.float32), 1),
+        }))
         return
     fps = measure()
     baseline = None

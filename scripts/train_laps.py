@@ -18,6 +18,7 @@ from kmunet_tpu.train.engine import train_and_evaluate
 def main():
     cfg = laps_km_unet()
     cfg.train.ckpt_dir = "outputs/checkpoints/laps"
+    cfg.train.out_dir = "outputs/laps"  # vis PNGs + scatter_metrics.csv
     parse_overrides(cfg, sys.argv[1:])
     if cfg.data.path is None and cfg.data.name == "laps":
         print("no --data.path given; falling back to synthetic data")

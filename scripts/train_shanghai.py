@@ -22,6 +22,7 @@ from kmunet_tpu.train.engine import train_and_evaluate
 def main():
     cfg = shanghai_km_unet()
     cfg.train.ckpt_dir = "outputs/checkpoints/shanghai"
+    cfg.train.out_dir = "outputs/shanghai"  # first-10-batch vis PNG strips
     parse_overrides(cfg, sys.argv[1:])
     if cfg.data.path is None and cfg.data.name == "shanghai":
         print("no --data.path given; falling back to synthetic data")

@@ -99,6 +99,27 @@ def test_laps_config_runs():
     assert 0.1 in r["threshold_metrics"]
 
 
+def test_vis_and_scatter_eval_wired(tmp_path):
+    """Reference test() dumps first-N PNG strips (train_shanghai.py:258-268)
+    and the LAPS path appends per-threshold scatter metrics to CSV
+    (train_LAPS.py:274-331) — both must fire from the engine test loop."""
+    import os
+
+    cfg = _tiny_cfg()
+    cfg.train.out_dir = str(tmp_path / "out")
+    cfg.train.vis_batches = 1
+    cfg.train.scatter_eval = True
+    cfg.data.thresholds = (0.1, 0.5)
+    r = train_and_evaluate(cfg, max_steps=1)
+
+    assert "scatter" in r and 0.1 in r["scatter"] and "HSS" in r["scatter"][0.1]
+    csv_path = tmp_path / "out" / "scatter_metrics.csv"
+    assert csv_path.exists() and csv_path.stat().st_size > 0
+    vis_root = tmp_path / "out" / "vis" / "batch_0_sample_0"
+    pngs = sorted(os.listdir(vis_root))
+    assert pngs == ["gt.png", "input.png", "prediction.png"]
+
+
 def test_parse_overrides():
     cfg = shanghai_km_unet()
     parse_overrides(cfg, ["--train.lr=3e-4", "--data.img_size=128",
