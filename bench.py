@@ -123,13 +123,13 @@ ZOO = {
     "sceca_net": 64,
     "transunet": 32,
     "swin_unet": 32,
-    "mamba_unet": 64,
+    "mamba_unet": 16,   # 64 OOMs 15.75G HBM: DMFM token layers at 128^2
     "convlstm": 16,
     "trajgru": 16,
 }
 
 
-def measure_zoo(img=IMG, out_frames=OUT_FRAMES) -> list[dict]:
+def measure_zoo(img=IMG, out_frames=OUT_FRAMES, only=None) -> list[dict]:
     from kmunet_tpu.configs import ModelConfig
     from kmunet_tpu.models import zoo
     from kmunet_tpu.models.zoo import SEQUENCE_MODELS
@@ -138,10 +138,9 @@ def measure_zoo(img=IMG, out_frames=OUT_FRAMES) -> list[dict]:
     roof = matmul_roof(jnp.bfloat16)
     rows = []
     for name, batch in ZOO.items():
-        extra = {}
-        if name in ("transunet", "swin_unet"):
-            extra = {"img_size": img}
-        model = zoo.build(ModelConfig(name=name, num_classes=out_frames, extra=extra))
+        if only and name not in only:
+            continue
+        model = zoo.build(ModelConfig(name=name, num_classes=out_frames))
         if name in SEQUENCE_MODELS:
             shape = (batch, 5, img, img)
         else:
@@ -174,7 +173,8 @@ def main():
         print(json.dumps(measure_train_step()))
         return
     if "zoo" in sys.argv[1:]:
-        measure_zoo()
+        names = [a for a in sys.argv[1:] if a != "zoo"]
+        measure_zoo(only=set(names) or None)
         return
     if "roof" in sys.argv[1:]:
         print(json.dumps({

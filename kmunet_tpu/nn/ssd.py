@@ -75,9 +75,20 @@ class HSMSSD(nn.Module):
         Bm, Cm, dt = jnp.split(bcdt, 3, axis=-1)  # each (B, L, N)
 
         A_param = self.param("A", _uniform_range(*self.a_init_range), (N,))
-        A = jax.nn.softmax(dt + A_param[None, None, :], axis=1)  # over L
-
-        h = jnp.einsum("blc,bln->bnc", x, A * Bm)  # (B, N, C) compress
+        # softmax_L(dt+A) is needed only inside the compress contraction, and
+        # h is linear in it:  h = x^T(softmax(s)*B) = [x^T(exp(s-m)*B)] / d,
+        # d[n] = sum_L exp(s-m): normalize AFTER the tiny (B, N, C) compress
+        # instead of materializing the normalized (B, L, N) attention tensor.
+        # Measured in-model effect on v5e: neutral (XLA already fused the
+        # softmax chain to its effective-bandwidth roofline — BASELINE.md
+        # round-2 ablation); kept because it states the fused-kernel identity
+        # (kernels/ssd_mix_pallas.py) in the XLA path and feeds exp(s-m)*B
+        # straight into the einsum operand.
+        s = dt + A_param[None, None, :]
+        m = jnp.max(s, axis=1, keepdims=True)                    # (B, 1, N)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=1)                               # (B, N)
+        h = jnp.einsum("blc,bln->bnc", x, e * Bm) / denom[..., None]
 
         hz = dense(2 * d_inner, "hz_proj")(h)
         h_, z = jnp.split(hz, 2, axis=-1)

@@ -19,6 +19,25 @@ import jax
 import jax.numpy as jnp
 
 
+# Pallas fused-scan fast path (kernels/scan_pallas.py): None = auto (TPU
+# only, supported shapes); True/False to force. The XLA associative-scan
+# formulation below materializes the (B, L, D, N) state expansion in HBM
+# log2(L) times; the kernel streams it through VMEM instead (measured 28x
+# on the Mamba-UNet refinement-layer shape, BASELINE.md round 2).
+USE_PALLAS_SCAN: bool | None = None
+
+
+def _pallas_scan_ok(x, A) -> bool:
+    if USE_PALLAS_SCAN is not None:
+        return USE_PALLAS_SCAN
+    if jax.default_backend() != "tpu":
+        return False
+    from kmunet_tpu.kernels import scan_pallas
+
+    B, L, D = x.shape
+    return scan_pallas.supported(L, D, A.shape[-1])
+
+
 def selective_scan(
     x: jnp.ndarray,      # (B, L, D)   input sequence (post-conv, pre-gate)
     dt: jnp.ndarray,     # (B, L, D)   positive step sizes (softplus'd)
@@ -28,6 +47,14 @@ def selective_scan(
     D: jnp.ndarray,      # (D,)        skip weights
 ) -> jnp.ndarray:
     """Returns y: (B, L, D)."""
+    if _pallas_scan_ok(x, A):
+        from kmunet_tpu.kernels.scan_pallas import selective_scan_pallas
+
+        return selective_scan_pallas(x, dt, A, Bmat, Cmat, D)
+    return _selective_scan_xla(x, dt, A, Bmat, Cmat, D)
+
+
+def _selective_scan_xla(x, dt, A, Bmat, Cmat, D):
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     dtf = dt.astype(jnp.float32)

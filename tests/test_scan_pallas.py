@@ -1,0 +1,84 @@
+"""Pallas selective-scan kernel parity (kernels/scan_pallas.py).
+
+The kernel must match the XLA associative-scan formulation exactly (same
+recurrence, fp32 state); interpret mode on CPU. Multi-chunk shapes exercise
+the VMEM carry across the sequential chunk grid.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmunet_tpu.kernels.scan_pallas import selective_scan_pallas, supported
+from kmunet_tpu.ops.scan import _selective_scan_xla
+
+
+def _inputs(rng, B=2, L=64, D=8, N=4, dtype=np.float32):
+    r = lambda *s: jnp.asarray(rng.normal(size=s).astype(dtype))  # noqa: E731
+    x = r(B, L, D)
+    dt = jnp.asarray(
+        np.log1p(np.exp(rng.normal(size=(B, L, D)))).astype(dtype)  # softplus>0
+    )
+    A = -jnp.asarray(np.abs(rng.normal(size=(D, N))).astype(np.float32))
+    Bm, Cm = r(B, L, N), r(B, L, N)
+    Dp = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    return x, dt, A, Bm, Cm, Dp
+
+
+class TestSelectiveScanPallas:
+    @pytest.mark.parametrize("L,D,N", [(32, 8, 4), (128, 8, 4), (64, 16, 8)])
+    def test_forward_parity(self, rng, L, D, N):
+        args = _inputs(rng, B=2, L=L, D=D, N=N)
+        got = selective_scan_pallas(*args, True)
+        want = _selective_scan_xla(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_multi_chunk_carry(self, rng):
+        # L=256 with the small-DN budget still picks a chunk < L, so the
+        # running carry path is exercised; compare against the monolithic
+        # XLA scan.
+        args = _inputs(rng, B=1, L=256, D=16, N=16)
+        got = selective_scan_pallas(*args, True)
+        want = _selective_scan_xla(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bf16_io_fp32_state(self, rng):
+        x, dt, A, Bm, Cm, Dp = _inputs(rng, B=1, L=64, D=8, N=4)
+        got = selective_scan_pallas(
+            x.astype(jnp.bfloat16), dt.astype(jnp.bfloat16), A,
+            Bm.astype(jnp.bfloat16), Cm.astype(jnp.bfloat16), Dp, True)
+        want = _selective_scan_xla(
+            x.astype(jnp.bfloat16), dt.astype(jnp.bfloat16), A,
+            Bm.astype(jnp.bfloat16), Cm.astype(jnp.bfloat16), Dp)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_vjp_matches_xla(self, rng):
+        args = _inputs(rng, B=1, L=32, D=8, N=4)
+
+        def f_kernel(x, dt, Bm):
+            return jnp.sum(
+                selective_scan_pallas(x, dt, args[2], Bm, args[4], args[5], True) ** 2
+            )
+
+        def f_xla(x, dt, Bm):
+            return jnp.sum(
+                _selective_scan_xla(x, dt, args[2], Bm, args[4], args[5]) ** 2
+            )
+
+        g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(args[0], args[1], args[3])
+        g2 = jax.grad(f_xla, argnums=(0, 1, 2))(args[0], args[1], args[3])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_supported_shapes(self):
+        assert supported(16384, 16, 16)
+        assert supported(16384, 128, 16)
+        assert not supported(100, 8, 4)        # L not chunkable
+        assert not supported(16384, 512, 16)   # DN too wide
