@@ -123,7 +123,7 @@ ZOO = {
     "sceca_net": 64,
     "transunet": 32,
     "swin_unet": 32,
-    "mamba_unet": 16,   # 64 OOMs 15.75G HBM: DMFM token layers at 128^2
+    "mamba_unet": 16,   # best fps/chip; B64 also fits now (Pallas scan kernel, no (B,L,D,N) blowup): 117ms, 10933 fps
     "convlstm": 16,
     "trajgru": 16,
 }
