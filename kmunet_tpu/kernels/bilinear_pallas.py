@@ -160,9 +160,13 @@ def gather_bilinear_border(img, x, y, interpret=False):
 
 
 def _xla_reference(img, x, y):
-    from kmunet_tpu.ops.sample import bilinear_gather
+    # MUST be the non-dispatching implementation: going through
+    # ops.sample.bilinear_gather would re-enter this kernel's custom VJP
+    # from its own backward and recurse unboundedly (see
+    # ops/sample.py::bilinear_gather_xla docstring).
+    from kmunet_tpu.ops.sample import bilinear_gather_xla
 
-    return bilinear_gather(img, x, y, padding_mode="border")
+    return bilinear_gather_xla(img, x, y, padding_mode="border")
 
 
 def _forward(img, x, y, interpret):

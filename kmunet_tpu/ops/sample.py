@@ -42,14 +42,28 @@ def bilinear_gather(
     contiguous innermost dim — TPU gathers move whole rows, so one wide
     gather beats four narrow ones.
     """
-    B, H, W, C = img.shape
-    Ho, Wo = x.shape[1:3]
-
     if padding_mode == "border" and USE_PALLAS_GATHER is not False:
         from kmunet_tpu.kernels import bilinear_pallas
 
         if USE_PALLAS_GATHER or bilinear_pallas.supported(img.shape, img.dtype):
             return bilinear_pallas.gather_bilinear_border(img, x, y)
+
+    return bilinear_gather_xla(img, x, y, padding_mode)
+
+
+def bilinear_gather_xla(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Pure-XLA gather formulation (no Pallas dispatch). The Pallas kernel's
+    custom VJP differentiates THIS function — routing its backward through
+    the dispatching ``bilinear_gather`` would re-enter the kernel's own
+    transpose and recurse without bound (hit in practice the first time
+    bf16 *training* activated the kernel: the trace never terminated)."""
+    B, H, W, C = img.shape
+    Ho, Wo = x.shape[1:3]
 
     if padding_mode == "border":
         # Pre-clamping the *coordinates* is exactly equivalent to the

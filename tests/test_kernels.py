@@ -159,3 +159,36 @@ class TestBilinearPallasSharded:
         from kmunet_tpu.parallel import MeshSpec
 
         self._run(rng, MeshSpec(2, 4, 1))
+
+
+class TestBilinearPallasBackwardNoRecursion:
+    """The kernel's custom VJP must differentiate the PURE-XLA gather, not
+    the dispatching ops.sample.bilinear_gather — the dispatcher re-enters
+    the kernel and its transpose recurses without bound (the trace never
+    terminates; first hit when bf16 training activated the kernel)."""
+
+    def test_grad_with_dispatch_forced_on(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops import sample as sample_mod
+        from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+        img = jnp.asarray(rng.normal(size=(1, 6, 6, 3)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(0, 5, (1, 4, 4)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(0, 5, (1, 4, 4)).astype(np.float32))
+
+        old = sample_mod.USE_PALLAS_GATHER
+        sample_mod.USE_PALLAS_GATHER = True  # dispatcher would re-enter
+        try:
+            g = jax.grad(
+                lambda im: jnp.sum(gather_bilinear_border(im, x, y, True) ** 2)
+            )(img)
+        finally:
+            sample_mod.USE_PALLAS_GATHER = old
+        want = jax.grad(
+            lambda im: jnp.sum(bilinear_gather_xla(im, x, y) ** 2)
+        )(img)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
