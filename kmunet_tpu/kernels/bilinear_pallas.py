@@ -12,15 +12,18 @@ sampling is *linear* in the source and separable per axis:
 with wyrow/wxrow having exactly two nonzeros each (the taps). Per output
 tile this becomes three MXU matmuls and one elementwise multiply:
 
-    s1   = wyrow (TT, H)  @ src (H, W*C)          # row interpolation
-    wsel = wxrow (TT, W)  @ E (W, W*C)            # expand col taps to lanes
-    out  = (s1 * wsel)    @ M (W*C, C)            # compact lane blocks
+    s1   = wyrow (TT, H)  @ src_cm (H, C*W)       # row interpolation
+    wsel = pltpu.repeat(wxrow, C, axis=1)         # (TT, C*W), free on the VPU
+    out  = (s1 * wsel)    @ M (C*W, C)            # compact lane blocks
 
-E / M are constant 0/1 matrices (lane-block expansion / channel
-compaction). No gather instructions at all — the "index" only ever appears
-as an iota comparison when building the two-tap weight rows. Measured at
-the dec3 DySample shape (BG=256, 64->128 upsample, C=16): 30 ms vs 73 ms
-for the wide XLA row-gather (bf16, chained timing).
+The source rides CHANNEL-MAJOR lanes (flat k = c*W + x, one XLA transpose
+of the small source outside): then the column-tap expansion is exactly
+``pltpu.repeat`` tiling (copy-major == c-major) instead of a third MXU
+matmul — cutting the formulation's FLOPs by ~1/3 (measured 88.6 -> 61.5 ms
+on the B128 dec3-up DySample, 64->128 C64). M is a constant 0/1 channel
+compaction; no gather instructions at all — the "index" only ever appears
+as an iota comparison when building the two-tap weight rows. vs the wide
+XLA row-gather: 61.5 vs 146.8 ms at that shape (bf16, chained timing).
 
 Border-mode coordinate pre-clamping makes tap weights at the image edge
 exactly zero, so no in-kernel clamping is needed (see ops/sample.py).
@@ -50,17 +53,17 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 _VMEM_BUDGET_ELEMS = 1 << 20  # TT * W*C <= 1M  (3 x 4 MB f32)
 
 
-def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, e_ref, m_ref, src_ref, out_ref,
+def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
             *, tt, hs, w, c):
-    wc = w * c
+    from jax.experimental.pallas import tpu as pltpu
+
     dt = src_ref.dtype
     y0 = y0_ref[0, 0]            # (TT, 1) i32
     x0 = x0_ref[0, 0]
     wy = wy_ref[0, 0]            # (TT, 1)
     wx = wx_ref[0, 0]
-    src = src_ref[0]             # (H, W*C)
-    e = e_ref[...]               # (W, W*C)
-    m = m_ref[...]               # (W*C, C)
+    src = src_ref[0]             # (H, C*W) channel-major lanes
+    m = m_ref[...]               # (C*W, C)
 
     def eqf(ia, ib):             # 1.0 where ia == ib (no bool vectors)
         return jnp.maximum(1 - jnp.abs(ia - ib), 0).astype(jnp.float32)
@@ -69,17 +72,22 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, e_ref, m_ref, src_ref, out_ref,
     y0b = jnp.broadcast_to(y0, (tt, hs))
     wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
     wyrow = (eqf(ih, y0b) * (1.0 - wyb) + eqf(ih, y0b + 1) * wyb).astype(dt)
+    # Accumulate fp32 (Mosaic requires a 32-bit matmul acc) but STORE the
+    # intermediate in the IO dtype: the tap sums are 2-term, so the bf16
+    # round-trip costs < 1e-2 ulp while halving VMEM traffic between the
+    # two MXU ops.
     s1 = jax.lax.dot_general(wyrow, src, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32).astype(dt)
 
     iw = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 1)
     x0b = jnp.broadcast_to(x0, (tt, w))
     wxb = jnp.broadcast_to(wx, (tt, w)).astype(jnp.float32)
     wxrow = (eqf(iw, x0b) * (1.0 - wxb) + eqf(iw, x0b + 1) * wxb).astype(dt)
-    wsel = jax.lax.dot_general(wxrow, e, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    # (TT, W) -> (TT, C*W): pltpu.repeat tiles copies, so flat index
+    # copy*W + x == c*W + x — exactly the source's channel-major layout.
+    wsel = pltpu.repeat(wxrow, c, axis=1)
 
-    out = jax.lax.dot_general((s1 * wsel).astype(dt), m,
+    out = jax.lax.dot_general(s1 * wsel, m,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(dt)
@@ -176,10 +184,11 @@ def _forward(img, x, y, interpret):
     T = Ho * Wo
     dt = img.dtype
 
-    # Tile size: largest power of two <= 1024 that fits VMEM and divides T
-    # (after padding T up to a tile multiple).
-    tt = 1024
-    while tt * WC > _VMEM_BUDGET_ELEMS and tt > 256:
+    # Tile size: largest power of two <= 2048 that fits VMEM and divides T
+    # (after padding T up to a tile multiple). bf16 intermediates allow 2M
+    # elements across the (TT, W*C) work arrays.
+    tt = 2048
+    while tt * WC > 2 * _VMEM_BUDGET_ELEMS and tt > 256:
         tt //= 2
     tpad = (-T) % tt
     ntt = (T + tpad) // tt
@@ -196,18 +205,19 @@ def _forward(img, x, y, interpret):
         pad = lambda a: jnp.pad(a, ((0, 0), (0, tpad)))  # noqa: E731
         x0, y0, wx, wy = pad(x0), pad(y0), pad(wx), pad(wy)
 
-    # Constant 0/1 lane-expansion / channel-compaction matrices. Built from
-    # iota (not np constants): custom_partitioning requires the partitioned
-    # computation to be const-free.
-    e = (
-        jax.lax.broadcasted_iota(jnp.int32, (W, WC), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (W, WC), 1) // C
-    ).astype(dt)
+    # Constant 0/1 channel-compaction matrix in c-major flat layout
+    # (k = c*W + x): m[k, c'] = (k // W == c'). Built from iota (not np
+    # constants): custom_partitioning requires a const-free computation.
     m = (
-        jax.lax.broadcasted_iota(jnp.int32, (WC, C), 0) % C
+        jax.lax.broadcasted_iota(jnp.int32, (WC, C), 0) // W
         == jax.lax.broadcasted_iota(jnp.int32, (WC, C), 1)
     ).astype(dt)
     r4 = lambda a: a.reshape(B, ntt, tt, 1)  # noqa: E731
+
+    # Channel-major source lanes: (B, H, W, C) -> (B, H, C*W). One cheap
+    # XLA transpose of the (small) source image; lets the in-kernel column
+    # expansion be a pltpu.repeat instead of a third MXU matmul.
+    src_cm = img.transpose(0, 1, 3, 2).reshape(B, H, WC)
 
     out = pl.pallas_call(
         functools.partial(_kernel, tt=tt, hs=H, w=W, c=C),
@@ -217,14 +227,13 @@ def _forward(img, x, y, interpret):
             pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, tt, 1), lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec((W, WC), lambda b, t: (0, 0)),
             pl.BlockSpec((WC, C), lambda b, t: (0, 0)),
             pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tt, C), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, ntt * tt, C), dt),
         interpret=interpret,
-    )(r4(y0), r4(x0), r4(wy), r4(wx), e, m, img.reshape(B, H, WC))
+    )(r4(y0), r4(x0), r4(wy), r4(wx), m, src_cm)
     return out[:, :T].reshape(B, Ho, Wo, C)
 
 
