@@ -52,9 +52,12 @@ class TrainConfig:
     optimizer: str = "adamw"
     lr: float = 1e-3
     weight_decay: float = 0.05
+    momentum: float = 0.9             # sgd/rmsprop only
     schedule: str = "cosine_epoch"    # CosineAnnealingLR stepped per epoch
     cosine_t_max: int = 200
     eta_min: float = 5e-4
+    milestones: Sequence[int] = (15000, 30000)  # MultiStepLR, epoch units
+    gamma: float = 0.1                # MultiStepLR/StepLR decay factor
     epochs: int = 120
     loss: str = "hybrid"
     loss_alpha: float = 0.7

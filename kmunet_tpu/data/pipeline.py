@@ -5,12 +5,18 @@ Design:
 
 - **Per-host sharding**: each JAX process reads only its slice of the index
   space (`process_index`/`process_count`), so multi-host DCN never carries
-  raw data.
+  raw data. ``batch_size`` is the PER-PROCESS batch; under multi-process JAX
+  the global batch is ``batch_size * process_count``.
 - **Background prefetch**: a worker-thread pool decodes/resizes items into a
-  bounded queue while the previous step runs.
-- **Double-buffered device transfer**: batches are `jax.device_put` with the
-  training NamedSharding up to `prefetch_to_device` steps ahead, overlapping
-  host->HBM DMA with compute.
+  bounded result queue while the previous step runs (consumer blocks on the
+  queue — no polling).
+- **Global-array assembly**: with a ``sharding``, batches become global
+  ``jax.Array``s. Single-process: ``jax.device_put``. Multi-process:
+  ``jax.make_array_from_process_local_data`` — a plain ``device_put`` of
+  host-local numpy would NOT form a global array across processes (each
+  process only has addressable shards of its own data).
+- **Double-buffered device transfer**: up to ``prefetch`` assembled batches
+  are enqueued ahead, overlapping host->HBM DMA with compute.
 """
 
 from __future__ import annotations
@@ -68,56 +74,60 @@ class DataLoader:
         n_full = len(idx) // self.batch_size
         ends = n_full * self.batch_size
         stop = ends if self.drop_last else len(idx)
+        if stop == 0:
+            return
 
         work_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 4)
-        done: dict[int, np.ndarray] = {}
-        lock = threading.Lock()
+        result_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 4)
 
         def worker():
             while True:
                 j = work_q.get()
                 if j is None:
                     return
-                item = self.dataset[int(idx[j])]
-                with lock:
-                    done[j] = item
+                result_q.put((j, self.dataset[int(idx[j])]))
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        feeder_stop = stop
-
         def feeder():
-            for j in range(feeder_stop):
+            for j in range(stop):
                 work_q.put(j)
             for _ in threads:
                 work_q.put(None)
 
         threading.Thread(target=feeder, daemon=True).start()
 
+        # Workers finish out of order; reorder via a stash keyed by index,
+        # blocking on the result queue (no sleep/poll loop).
+        stash: dict[int, np.ndarray] = {}
         out = []
         j = 0
         while j < stop:
-            with lock:
-                ready = j in done
-            if ready:
-                with lock:
-                    out.append(done.pop(j))
-                j += 1
-                if len(out) == self.batch_size or (j == stop and out and not self.drop_last):
-                    yield np.stack(out)
-                    out = []
-            else:
-                threading.Event().wait(0.001)
+            while j not in stash:
+                k, item = result_q.get()
+                stash[k] = item
+            out.append(stash.pop(j))
+            j += 1
+            if len(out) == self.batch_size or (j == stop and out and not self.drop_last):
+                yield np.stack(out)
+                out = []
+
+    def _to_device(self, batch: np.ndarray):
+        if self.sharding is None:
+            return batch
+        if self._pc > 1:
+            # Host-local numpy -> global jax.Array: each process contributes
+            # its shard; the global batch axis is batch_size * process_count.
+            return jax.make_array_from_process_local_data(self.sharding, batch)
+        return jax.device_put(batch, self.sharding)
 
     def __iter__(self):
         self._epoch += 1
         buf = collections.deque()
         for batch in self._batches():
-            if self.sharding is not None:
-                batch = jax.device_put(batch, self.sharding)
-            buf.append(batch)
+            buf.append(self._to_device(batch))
             if len(buf) > self.prefetch:
                 yield buf.popleft()
         while buf:

@@ -55,12 +55,21 @@ class _BlockWithState(nn.Module):
 
 
 class EfficientViM(nn.Module):
+    """Classifier with optional distillation head.
+
+    ``distillation=True`` adds a second softmax-weighted 4-head ladder
+    (``weights_dist``/``heads_dist``, efficient_vim_init.py:158-166,
+    226-243): training returns ``(z, z_dist)`` for the DeiT-style teacher
+    loss; inference returns their mean.
+    """
+
     num_classes: int = 1000
     embed_dim: Sequence[int] = (128, 256, 512)
     depths: Sequence[int] = (2, 2, 2)
     mlp_ratio: float = 4.0
     ssd_expand: int = 1
     state_dim: Sequence[int] = (49, 25, 9)
+    distillation: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,6 +81,10 @@ class EfficientViM(nn.Module):
 
         w = jax.nn.softmax(self.param("weights", nn.initializers.ones, (4,)))
         z = jnp.zeros((x.shape[0], self.num_classes))
+        if self.distillation:
+            w_dist = jax.nn.softmax(
+                self.param("weights_dist", nn.initializers.ones, (4,)))
+            z_dist = jnp.zeros((x.shape[0], self.num_classes))
 
         for i, depth in enumerate(self.depths):
             h = None
@@ -84,12 +97,20 @@ class EfficientViM(nn.Module):
             hn = ChannelLayerNorm(name=f"norm{i}")(h)  # (B, N, C)
             hp = jnp.mean(hn, axis=1)
             z = z + w[i] * dense(f"head{i}")(hp)
+            if self.distillation:
+                z_dist = z_dist + w_dist[i] * dense(f"head{i}_dist")(hp)
             if i < len(self.depths) - 1:
                 x = PatchMerging(out_dim=self.embed_dim[i + 1], name=f"merge{i}")(x, train)
 
         xn = ChannelLayerNorm(name="norm3")(x)
         xp = jnp.mean(xn, axis=(1, 2))
         z = z + w[3] * dense("head3")(xp)
+        if self.distillation:
+            z_dist = z_dist + w_dist[3] * dense("head3_dist")(xp)
+            if train:
+                return z, z_dist
+            self.sow("intermediates", "logits_pair", (z, z_dist))
+            return (z + z_dist) / 2  # efficient_vim_init.py:241-242
         return z
 
 

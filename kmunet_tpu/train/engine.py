@@ -63,9 +63,14 @@ def build_loss(cfg: ExperimentConfig) -> Callable:
     if name == "rain":
         return rain_loss
     if name == "weighted_mse_mae":
-        return functools.partial(
+        wf = functools.partial(
             weighted_mse_mae, lam=None, thresholds=tuple(cfg.data.thresholds)
         )
+        # The loss keeps the reference's 5-D (B, S, C, H, W) contract; the
+        # engine's (B, T, H, W) prediction gets the same singleton channel
+        # axis the reference datasets carry (Shanghai items are (25,1,S,S);
+        # the NC scripts data.unsqueeze(2), train_NC_trajgru.py:39).
+        return lambda p, t: wf(p[:, :, None], t[:, :, None]) if p.ndim == 4 else wf(p, t)
     if name == "mse":
         return lambda p, t: jnp.mean((p - t) ** 2)
     raise ValueError(f"unknown loss {name}")
@@ -82,10 +87,12 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
 
         sched = make_schedule(t.schedule, t.lr, steps_per_epoch,
                               eta_min=t.eta_min, t_max=t.cosine_t_max,
+                              milestones=tuple(t.milestones), gamma=t.gamma,
                               epochs=t.epochs)
     from kmunet_tpu.train.optimizers import make_optimizer
 
-    return make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay)
+    return make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
+                          momentum=t.momentum)
 
 
 def init_state(cfg: ExperimentConfig, model, tx, rng) -> TrainState:

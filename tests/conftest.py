@@ -11,11 +11,22 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+    _flags += " --xla_force_host_platform_device_count=8"
+# Tests assert numerics/shapes, not speed: skip the XLA optimization
+# pipeline (compile time dominates the suite on this 1-core host).
+if "xla_backend_optimization_level" not in _flags:
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: several engine/sharding tests compile the
+# identical train-step HLO (same config, fresh closures) — and re-runs of
+# the suite recompile everything from scratch. Keyed by HLO hash, so
+# staleness is not a correctness risk.
+jax.config.update("jax_compilation_cache_dir", "/tmp/kmunet_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

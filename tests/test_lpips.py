@@ -112,6 +112,66 @@ def test_lpips_zero_for_identical_inputs(converted):
     np.testing.assert_allclose(np.asarray(fn(x, x)), 0.0, atol=1e-6)
 
 
+def test_converter_roundtrip_keys_shapes_layout():
+    """convert_lpips_state_dict on a fabricated dict: every npz key present,
+    OIHW->HWIO transposes correct element-for-element (torch-free)."""
+    _alex = [(64, 11, 0, 1), (192, 5, 3, 2), (384, 3, 6, 3),
+             (256, 3, 8, 4), (256, 3, 10, 5)]
+    r = np.random.default_rng(7)
+    sd, in_ch = {}, 3
+    for out_ch, k, idx, sl in _alex:
+        key = f"net.slice{sl}.{idx}"
+        sd[f"{key}.weight"] = r.standard_normal((out_ch, in_ch, k, k)).astype(np.float32)
+        sd[f"{key}.bias"] = r.standard_normal(out_ch).astype(np.float32)
+        in_ch = out_ch
+    for i, (out_ch, *_r) in enumerate(_alex):
+        sd[f"lin{i}.model.1.weight"] = r.random((1, out_ch, 1, 1), dtype=np.float32)
+
+    from kmunet_tpu.metrics.lpips import convert_lpips_state_dict
+
+    params = convert_lpips_state_dict(sd)
+    assert sorted(params) == sorted(
+        [f"conv{i}_{s}" for i in range(5) for s in ("w", "b")]
+        + [f"lin{i}_w" for i in range(5)]
+    )
+    # conv0: (64,3,11,11) OIHW -> (11,11,3,64) HWIO, element mapping exact
+    assert params["conv0_w"].shape == (11, 11, 3, 64)
+    np.testing.assert_array_equal(params["conv0_w"][4, 7, 1, 30],
+                                  sd["net.slice1.0.weight"][30, 1, 4, 7])
+    assert params["lin2_w"].shape == (1, 1, 384, 1)
+    np.testing.assert_array_equal(params["lin2_w"][0, 0, :, 0],
+                                  sd["lin2.model.1.weight"][0, :, 0, 0])
+
+
+def test_lpips_golden_values_torch_free():
+    """Full path (fabricated torch-format dict -> converter -> flax forward)
+    against checked-in golden values: catches any numeric drift in the
+    conv/normalize/lin/mean chain without needing torch at test time. The
+    only branch left untested anywhere is the literal pretrained weight
+    values (unfetchable: zero egress)."""
+    _alex = [(64, 11, 0, 1), (192, 5, 3, 2), (384, 3, 6, 3),
+             (256, 3, 8, 4), (256, 3, 10, 5)]
+    r = np.random.default_rng(0)
+    sd, in_ch = {}, 3
+    for out_ch, k, idx, sl in _alex:
+        key = f"net.slice{sl}.{idx}"
+        sd[f"{key}.weight"] = (0.1 * r.standard_normal((out_ch, in_ch, k, k))).astype(np.float32)
+        sd[f"{key}.bias"] = (0.1 * r.standard_normal(out_ch)).astype(np.float32)
+        in_ch = out_ch
+    for i, (out_ch, *_r) in enumerate(_alex):
+        sd[f"lin{i}.model.1.weight"] = r.random((1, out_ch, 1, 1), dtype=np.float32)
+
+    from kmunet_tpu.metrics.lpips import convert_lpips_state_dict
+
+    params = {k: jnp.asarray(v) for k, v in convert_lpips_state_dict(sd).items()}
+    x1 = jnp.asarray(r.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    x2 = jnp.asarray(r.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    got = np.asarray(lpips_distance(x1, x2, params))
+    np.testing.assert_allclose(got, [0.9638738, 0.9498723], rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lpips_distance(x1, x1, params)), 0.0,
+                               atol=1e-7)
+
+
 def test_evaluator_reports_lpips_and_status(converted):
     _, npz = converted
     r = np.random.default_rng(3)

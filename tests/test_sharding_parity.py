@@ -30,6 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Compiles the full train step under 4 mesh layouts: ~20 min alone on the
+# 1-core CI host. Deselected from plain `pytest tests/` (see pyproject
+# addopts); run explicitly with `pytest -m heavy tests/`.
+pytestmark = pytest.mark.heavy
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kmunet_tpu.configs import shanghai_km_unet

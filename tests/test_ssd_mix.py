@@ -68,5 +68,16 @@ class TestSSDMixKernel:
 
         g_kernel = jax.grad(f_kernel)(args[wrt])
         g_ref = jax.grad(f_ref)(args[wrt])
-        np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
-                                   rtol=1e-4, atol=1e-5)
+        if wrt == 4:
+            # A_param adds a per-n constant along the softmax axis L
+            # (softmax(dt + A, axis=1), efficient_vim_init.py:46), and
+            # softmax is shift-invariant per lane — the true gradient wrt
+            # A_param is identically ZERO. Both paths return fp32
+            # cancellation noise (~1e-5 from summing thousands of terms
+            # that analytically cancel), so comparing them elementwise is
+            # comparing noise to noise. Assert the invariance instead.
+            np.testing.assert_allclose(np.asarray(g_kernel), 0, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(g_ref), 0, atol=1e-4)
+        else:
+            np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-5)
