@@ -133,7 +133,7 @@ def measure_zoo(img=IMG, out_frames=OUT_FRAMES, only=None) -> list[dict]:
     from kmunet_tpu.configs import ModelConfig
     from kmunet_tpu.models import zoo
     from kmunet_tpu.models.zoo import SEQUENCE_MODELS
-    from kmunet_tpu.utils.flops import flops_of
+    from kmunet_tpu.utils.flops import flops_of, lowered_flops
 
     roof = matmul_roof(jnp.bfloat16)
     rows = []
@@ -151,13 +151,25 @@ def measure_zoo(img=IMG, out_frames=OUT_FRAMES, only=None) -> list[dict]:
         fn = lambda v, xx: model.apply(v, xx)  # noqa: E731
         dt = _chain_time(fn, variables, x)
         fps = batch * out_frames / dt
-        cost = flops_of(fn, variables, x)
-        tflops = cost["flops"] / dt / 1e12
+        if name in SEQUENCE_MODELS:
+            # while-loop bodies are cost-analyzed once, not x trip count
+            # (the VERDICT r2 zoo-MFU undercount): count on a fully
+            # unrolled clone via cheap pre-compile lowering instead.
+            model_u = model.clone(unroll=max(out_frames, 5))
+            fn_u = lambda v, xx: model_u.apply(v, xx)  # noqa: E731
+            cost = lowered_flops(fn_u, variables, x)
+        else:
+            cost = flops_of(fn, variables, x)
+        # custom_flops = Pallas kernels' useful FLOPs (recorded at trace
+        # time; XLA counts their custom-calls as 0).
+        total_flops = cost["flops"] + cost["custom_flops"]
+        tflops = total_flops / dt / 1e12
         rows.append({
             "model": name, "batch": batch, "img": img,
             "ms": round(dt * 1e3, 1),
             "frames_per_sec_per_chip": round(fps, 1),
-            "gflops_fwd": round(cost["flops"] / 1e9, 1),
+            "gflops_fwd": round(total_flops / 1e9, 1),
+            "gflops_custom_calls": round(cost["custom_flops"] / 1e9, 1),
             "achieved_tflops": round(tflops, 2),
             "mfu_pct_of_bf16_roof": round(100 * tflops / roof, 1),
         })

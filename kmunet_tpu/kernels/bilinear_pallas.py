@@ -1,4 +1,4 @@
-"""MXU-matmul bilinear gather (Pallas) — border mode, bf16 fast path.
+"""MXU-matmul bilinear gather (Pallas) — border & zeros modes, bf16/f16.
 
 Replaces the XLA row-gather in ``ops/sample.py`` for the hot DySample /
 resize / warp paths. TPU gathers are row-granular and run ~100x off memory
@@ -27,13 +27,18 @@ XLA row-gather: 61.5 vs 146.8 ms at that shape (bf16, chained timing).
 
 Border-mode coordinate pre-clamping makes tap weights at the image edge
 exactly zero, so no in-kernel clamping is needed (see ops/sample.py).
+Zeros mode (TrajGRU warp) is the SAME kernel body: the eq-mask weight rows
+only cover the valid index range, so out-of-range taps vanish by
+construction — the wrapper merely skips the border pre-clamp.
 
 The eq-masks are built with integer arithmetic (max(0, 1-|i-j|)) because
 bool vectors hit a Mosaic relayout bug ("Non-singleton logical dimension
 is replicated...") as of jax 0.9.0.
 
 Precision: matmuls run at native MXU bf16; the fast path therefore only
-engages for bf16/f16 inputs (f32 callers keep the bit-exact XLA path).
+engages for bf16/f16 inputs (f32 callers keep the bit-exact XLA path — the
+MXU rounds f32 operands to bf16, and requesting Precision.HIGHEST in-kernel
+stalls the Mosaic compile on the live toolchain).
 Backward: custom VJP recomputes through the XLA formulation (scatter-add
 grads), so training semantics are unchanged.
 """
@@ -68,6 +73,15 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
     def eqf(ia, ib):             # 1.0 where ia == ib (no bool vectors)
         return jnp.maximum(1 - jnp.abs(ia - ib), 0).astype(jnp.float32)
 
+    # The MXU natively multiplies bf16 operands: fp32 IO must request
+    # HIGHEST (bf16x3 multi-pass) or the tap weights round to bf16 and
+    # samples drift ~1e-2 (measured on v5e; interpret-mode CPU tests can't
+    # see this). NB: HIGHEST inside this kernel sent the Mosaic compile into
+    # a >9-minute stall on the live toolchain, so ``supported()`` gates the
+    # fast path to 16-bit dtypes and fp32 never reaches here off-interpret;
+    # the precision request is kept for correctness wherever it does.
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
     ih = jax.lax.broadcasted_iota(jnp.int32, (tt, hs), 1)
     y0b = jnp.broadcast_to(y0, (tt, hs))
     wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
@@ -77,6 +91,7 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
     # round-trip costs < 1e-2 ulp while halving VMEM traffic between the
     # two MXU ops.
     s1 = jax.lax.dot_general(wyrow, src, (((1,), (0,)), ((), ())),
+                             precision=prec,
                              preferred_element_type=jnp.float32).astype(dt)
 
     iw = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 1)
@@ -89,12 +104,18 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
 
     out = jax.lax.dot_general(s1 * wsel, m,
                               (((1,), (0,)), ((), ())),
+                              precision=prec,
                               preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(dt)
 
 
 def supported(img_shape, dtype, interpret: bool = False) -> bool:
-    """Fast path only for 16-bit dtypes on TPU (or interpret for tests)."""
+    """Fast path only for 16-bit dtypes on TPU (or interpret for tests).
+
+    fp32 stays on the bit-exact XLA path: the MXU rounds fp32 operands to
+    bf16 (measured ~1e-2 drift on v5e) and requesting Precision.HIGHEST
+    inside the kernel stalls the Mosaic compile on the live toolchain.
+    """
     B, H, W, C = img_shape
     if dtype not in (jnp.bfloat16, jnp.float16):
         if not interpret:
@@ -107,7 +128,7 @@ def supported(img_shape, dtype, interpret: bool = False) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_forward(interpret: bool):
+def _partitioned_forward(interpret: bool, zeros: bool):
     """GSPMD/shardy-partitionable wrapper around the Pallas forward.
 
     Without this, the Pallas custom-call blocks GSPMD propagation and the
@@ -125,7 +146,7 @@ def _partitioned_forward(interpret: bool):
     """
 
     def impl(img, x, y):
-        return _forward(img, x, y, interpret)
+        return _forward(img, x, y, interpret, zeros)
 
     op = custom_partitioning(impl)
 
@@ -157,27 +178,56 @@ def _partitioned_forward(interpret: bool):
     return op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_bilinear(img, x, y, interpret, zeros):
+    return _partitioned_forward(bool(interpret), bool(zeros))(img, x, y)
+
+
 def gather_bilinear_border(img, x, y, interpret=False):
     """Bilinear sample at border-clamped pixel coords (Pallas MXU path).
 
     Args/semantics identical to ``ops.sample.bilinear_gather`` with
     ``padding_mode='border'``: img (B, H, W, C), x/y (B, Ho, Wo).
     """
-    return _partitioned_forward(bool(interpret))(img, x, y)
+    from kmunet_tpu.utils.flops import record_custom_flops
+
+    # Useful FLOPs of bilinear interpolation: 4 taps x (mul+add) per output
+    # element (the kernel's internal matmul formulation does far more; MFU
+    # accounting wants the minimal useful count).
+    B, Ho, Wo = x.shape
+    record_custom_flops(8.0 * B * Ho * Wo * img.shape[-1])
+    return _gather_bilinear(img, x, y, bool(interpret), False)
 
 
-def _xla_reference(img, x, y):
+def gather_bilinear_zeros(img, x, y, interpret=False):
+    """Bilinear sample with zeros padding (out-of-range taps contribute 0).
+
+    Same kernel body as border mode: the eq-mask weight rows are built over
+    the VALID index range [0, H) x [0, W), so an out-of-range tap's row is
+    identically zero — zeros padding falls out of the formulation for free;
+    only the border mode's coordinate pre-clamp is skipped (TrajGRU's
+    ``wrap`` semantics, models/TrajGru.py:39-57 F.grid_sample default
+    padding).
+    """
+    from kmunet_tpu.utils.flops import record_custom_flops
+
+    B, Ho, Wo = x.shape
+    record_custom_flops(8.0 * B * Ho * Wo * img.shape[-1])
+    return _gather_bilinear(img, x, y, bool(interpret), True)
+
+
+def _xla_reference(img, x, y, zeros=False):
     # MUST be the non-dispatching implementation: going through
     # ops.sample.bilinear_gather would re-enter this kernel's custom VJP
     # from its own backward and recurse unboundedly (see
     # ops/sample.py::bilinear_gather_xla docstring).
     from kmunet_tpu.ops.sample import bilinear_gather_xla
 
-    return bilinear_gather_xla(img, x, y, padding_mode="border")
+    return bilinear_gather_xla(img, x, y,
+                               padding_mode="zeros" if zeros else "border")
 
 
-def _forward(img, x, y, interpret):
+def _forward(img, x, y, interpret, zeros=False):
     B, H, W, C = img.shape
     Ho, Wo = x.shape[1:3]
     WC = W * C
@@ -186,15 +236,29 @@ def _forward(img, x, y, interpret):
 
     # Tile size: largest power of two <= 2048 that fits VMEM and divides T
     # (after padding T up to a tile multiple). bf16 intermediates allow 2M
-    # elements across the (TT, W*C) work arrays.
+    # elements across the (TT, W*C) work arrays; fp32 halves that.
+    budget = 2 * _VMEM_BUDGET_ELEMS if dt in (jnp.bfloat16, jnp.float16) \
+        else _VMEM_BUDGET_ELEMS
     tt = 2048
-    while tt * WC > 2 * _VMEM_BUDGET_ELEMS and tt > 256:
+    while tt * WC > budget and tt > 256:
+        tt //= 2
+    # Don't tile far past the problem: a T=16 warp (TrajGRU's 4^2 RNN maps)
+    # under a 2048-row tile pads 128x and blows scoped VMEM.
+    while tt > 256 and tt // 2 >= T:
         tt //= 2
     tpad = (-T) % tt
     ntt = (T + tpad) // tt
 
-    x = jnp.clip(x, 0.0, W - 1)
-    y = jnp.clip(y, 0.0, H - 1)
+    if zeros:
+        # No semantic clamp — out-of-range taps get zero weight rows. The
+        # clip only guards the int32 conversion: any coord <= -2 or >= dim+1
+        # already has BOTH taps outside the valid range (contribution 0),
+        # so collapsing it to the sentinel -2 / dim+1 is exact.
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
+    else:
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = (x - x0).astype(dt).reshape(B, T)
@@ -237,14 +301,14 @@ def _forward(img, x, y, interpret):
     return out[:, :T].reshape(B, Ho, Wo, C)
 
 
-def _fwd(img, x, y, interpret):
-    return _partitioned_forward(bool(interpret))(img, x, y), (img, x, y)
+def _fwd(img, x, y, interpret, zeros):
+    return _partitioned_forward(bool(interpret), bool(zeros))(img, x, y), (img, x, y)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, zeros, res, g):
     img, x, y = res
-    _, vjp = jax.vjp(_xla_reference, img, x, y)
+    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference(i, xx, yy, zeros), img, x, y)
     return vjp(g)
 
 
-gather_bilinear_border.defvjp(_fwd, _bwd)
+_gather_bilinear.defvjp(_fwd, _bwd)

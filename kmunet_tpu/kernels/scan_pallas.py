@@ -31,10 +31,23 @@ fp32 state throughout (the reference forces fp32 into mamba_ssm,
 Mamba_UNet.py:25-26); bf16 inputs are upcast on load, outputs written in
 the input dtype.
 
-Backward: custom VJP through the XLA associative-scan formulation
-(identical math). Training the Mamba baseline therefore still pays the XLA
-cost on the backward; a reverse-scan kernel (same structure, reversed
-chunk order) is the natural follow-up if that matters.
+Backward: a second Pallas kernel (``_bwd_kernel``), same chunked VMEM
+streaming in two phases over a (B, 2, n_chunks) grid:
+
+  phase 0 (forward chunk order): re-run the forward scan, storing only the
+      per-chunk ENTRY state h_{chunk_start-1} into a VMEM checkpoint array
+      ((n_chunks, D*N) f32) — the (B, L, D, N) expansion still never
+      touches HBM.
+  phase 1 (REVERSE chunk order): per chunk, rebuild the in-chunk states
+      from the checkpoint (forward Hillis-Steele), then solve the cotangent
+      recurrence  hhat_t = g_t (x) C_t + a_{t+1} * hhat_{t+1}  with a
+      mirrored *suffix* Hillis-Steele (shift-up instead of shift-down; the
+      boundary message  M = a_0*hhat_0  of each chunk is the carry walked
+      backward). All six input gradients fall out as lane-packed products
+      contracted through the same one-hot matmuls as the forward.
+
+The XLA VJP (associative scan, log2(L) HBM rewrites of (B,L,D,N), OOM at
+B64 128^2) remains the fallback for unsupported shapes.
 
 Measured (v5e, B16 L=16384 D=16 N=16, the Mamba-UNet refine-layer shape):
 see BASELINE.md round-2 — the in-model effect is the headline.
@@ -148,9 +161,190 @@ def _forward(x, dt, A, Bmat, Cmat, Dp, interpret):
     )(x, dt, Bmat, Cmat, a_flat, d_row)
 
 
+def _bwd_kernel(x_ref, dt_ref, b_ref, c_ref, g_ref, a_ref, d_ref,
+                dx_ref, ddt_ref, db_ref, dc_ref, da_ref, dd_ref,
+                carry_ref, ckpt_ref, m_ref, daacc_ref, ddacc_ref,
+                *, Q, D, N, n_chunks):
+    p = pl.program_id(1)
+    j = pl.program_id(2)
+    DN = D * N
+
+    x = x_ref[0].astype(jnp.float32)      # (Q, D)
+    dt = dt_ref[0].astype(jnp.float32)    # (Q, D)
+    Bm = b_ref[0].astype(jnp.float32)     # (Q, N)
+
+    e1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (D, DN), 1) // N
+        == jax.lax.broadcasted_iota(jnp.int32, (D, DN), 0)
+    ).astype(jnp.float32)                 # (D, DN): k//N == d
+    e2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, DN), 1) % N
+        == jax.lax.broadcasted_iota(jnp.int32, (N, DN), 0)
+    ).astype(jnp.float32)                 # (N, DN): k%N == n
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    dt_e = dot(dt, e1)                    # (Q, DN)
+    x_e = dot(x, e1)                      # (Q, DN)
+    b_e = dot(Bm, e2)                     # (Q, DN)
+    a0 = jnp.exp(dt_e * a_ref[...])       # decay (pre-scan), kept
+    inc = dt_e * x_e * b_e                # increment
+
+    @pl.when(p == 0)
+    def _phase0():
+        # forward scan; checkpoint the chunk-ENTRY state, keep running carry
+        @pl.when(j == 0)
+        def _():
+            carry_ref[...] = jnp.zeros_like(carry_ref)
+
+        ckpt_ref[j, :] = carry_ref[0]
+        a, b = a0, inc
+        s = 1
+        while s < Q:
+            a_sh = jnp.pad(a, ((s, 0), (0, 0)), constant_values=1.0)[:Q]
+            b_sh = jnp.pad(b, ((s, 0), (0, 0)))[:Q]
+            b = a * b_sh + b
+            a = a * a_sh
+            s *= 2
+        h_last = b[Q - 1:Q] + a[Q - 1:Q] * carry_ref[...]
+        carry_ref[...] = h_last
+
+    @pl.when(p == 1)
+    def _phase1():
+        @pl.when(j == 0)
+        def _():
+            m_ref[...] = jnp.zeros_like(m_ref)
+            daacc_ref[...] = jnp.zeros_like(daacc_ref)
+            ddacc_ref[...] = jnp.zeros_like(ddacc_ref)
+
+        Cm = c_ref[0].astype(jnp.float32)     # (Q, N)
+        g = g_ref[0].astype(jnp.float32)      # (Q, D)
+        # rebuild in-chunk states from the checkpoint
+        h_in = ckpt_ref[n_chunks - 1 - j, :][None, :]
+        a, b = a0, inc
+        s = 1
+        while s < Q:
+            a_sh = jnp.pad(a, ((s, 0), (0, 0)), constant_values=1.0)[:Q]
+            b_sh = jnp.pad(b, ((s, 0), (0, 0)))[:Q]
+            b = a * b_sh + b
+            a = a * a_sh
+            s *= 2
+        h = b + a * h_in                      # (Q, DN) states of this chunk
+        h_prev = jnp.concatenate([h_in, h[:Q - 1]], axis=0)
+
+        # cotangent suffix scan: hhat_t = G_t + a_{t+1} hhat_{t+1}
+        c_e = dot(Cm, e2)                     # (Q, DN)
+        g_e = dot(g, e1)                      # (Q, DN)
+        G = g_e * c_e
+        d = jnp.pad(a0, ((0, 1), (0, 0)), constant_values=1.0)[1:]  # d_t=a_{t+1}
+        Gs, ds = G, d
+        s = 1
+        while s < Q:
+            G_sh = jnp.pad(Gs, ((0, s), (0, 0)))[s:]
+            d_sh = jnp.pad(ds, ((0, s), (0, 0)), constant_values=1.0)[s:]
+            Gs = Gs + ds * G_sh
+            ds = ds * d_sh
+            s *= 2
+        hhat = Gs + ds * m_ref[...]
+        m_ref[...] = a0[0:1] * hhat[0:1]      # message to the previous chunk
+
+        # gradients (lane-packed -> compacted through the one-hot matmuls)
+        S1 = hhat * b_e                       # d(inc)路B paths
+        P = hhat * h_prev * a0                # d(decay) path
+        dx = dot(dt_e * S1, e1.T) + g * d_ref[...]
+        ddt = dot(x_e * S1 + P * a_ref[...], e1.T)
+        db = dot(hhat * dt_e * x_e, e2.T)     # (Q, N)
+        dc = dot(g_e * h, e2.T)               # (Q, N)
+        daacc_ref[...] = daacc_ref[...] + jnp.sum(dt_e * P, axis=0)[None, :]
+        ddacc_ref[...] = ddacc_ref[...] + jnp.sum(g * x, axis=0)[None, :]
+
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+        ddt_ref[0] = ddt.astype(ddt_ref.dtype)
+        db_ref[0] = db.astype(db_ref.dtype)
+        dc_ref[0] = dc.astype(dc_ref.dtype)
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            da_ref[0] = daacc_ref[0].astype(da_ref.dtype)
+            dd_ref[0] = ddacc_ref[0].astype(dd_ref.dtype)
+
+
+def _pick_chunk_bwd(L: int, DN: int) -> int:
+    # ~16 live (Q, DN) fp32 work arrays in phase 1 (vs 6 in the forward)
+    for q in (512, 256, 128, 64, 32, 16, 8):
+        if L % q:
+            continue
+        if 16 * q * DN * 4 < _VMEM_BUDGET:
+            return q
+    return 0
+
+
+def _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret):
+    B, L, D = x.shape
+    N = A.shape[-1]
+    DN = D * N
+    Q = _pick_chunk_bwd(L, DN)
+    assert Q >= 8, f"unsupported backward scan shape L={L} D={D} N={N}"
+    n_chunks = L // Q
+
+    a_flat = A.astype(jnp.float32).reshape(1, DN)
+    d_row = Dp.astype(jnp.float32).reshape(1, D)
+
+    fwd_idx = lambda b, p, j: (b, j * (1 - p) + (n_chunks - 1 - j) * p, 0)  # noqa: E731
+    kern = functools.partial(_bwd_kernel, Q=Q, D=D, N=N, n_chunks=n_chunks)
+    dx, ddt, db, dc, da, dd = pl.pallas_call(
+        kern,
+        grid=(B, 2, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DN), lambda b, p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, p, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DN), lambda b, p, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, p, j: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), x.dtype),
+            jax.ShapeDtypeStruct((B, L, D), dt.dtype),
+            jax.ShapeDtypeStruct((B, L, N), Bmat.dtype),
+            jax.ShapeDtypeStruct((B, L, N), Cmat.dtype),
+            jax.ShapeDtypeStruct((B, DN), jnp.float32),
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, DN), jnp.float32),         # fwd carry
+            pltpu.VMEM((n_chunks, DN), jnp.float32),  # chunk-entry checkpoints
+            pltpu.VMEM((1, DN), jnp.float32),         # cotangent message
+            pltpu.VMEM((1, DN), jnp.float32),         # dA accumulator
+            pltpu.VMEM((1, D), jnp.float32),          # dD accumulator
+        ],
+        interpret=interpret,
+    )(x, dt, Bmat, Cmat, g, a_flat, d_row)
+    dA = jnp.sum(da, axis=0).reshape(D, N).astype(A.dtype)
+    dD = jnp.sum(dd, axis=0).astype(Dp.dtype)
+    return dx, ddt, dA, db, dc, dD
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def selective_scan_pallas(x, dt, A, Bmat, Cmat, Dp, interpret=False):
     """Fused selective scan; args/semantics of ops.scan.selective_scan."""
+    from kmunet_tpu.utils.flops import record_custom_flops
+
+    # Useful FLOPs of the sequential recurrence (what a minimal
+    # implementation performs — NOT this kernel's one-hot-matmul internals):
+    # per (b,l,d,n): decay=exp(dt*A) 2, dt*B*x 2, h=decay*h+inc 2, y=C.h 2;
+    # plus the D*x skip 2 per (b,l,d).
+    B, L, D = x.shape
+    N = A.shape[-1]
+    record_custom_flops(8.0 * B * L * D * N + 2.0 * B * L * D)
     return _forward(x, dt, A, Bmat, Cmat, Dp, interpret)
 
 
@@ -159,8 +353,12 @@ def _fwd(x, dt, A, Bmat, Cmat, Dp, interpret):
 
 
 def _bwd(interpret, res, g):
-    # NB: ops.scan.selective_scan would dispatch back to this kernel; the
-    # backward must go through the XLA formulation explicitly.
+    x, dt, A, Bmat, Cmat, Dp = res
+    L, D = x.shape[1:]
+    if _pick_chunk_bwd(L, D * A.shape[-1]) >= 8:
+        return _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret)
+    # Fallback: XLA associative-scan VJP. NB: ops.scan.selective_scan would
+    # dispatch back to this kernel; go through the XLA formulation directly.
     from kmunet_tpu.ops.scan import _selective_scan_xla
 
     _, vjp = jax.vjp(_selective_scan_xla, *res)

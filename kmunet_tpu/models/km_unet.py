@@ -97,25 +97,38 @@ class EnhancedViMBlock(nn.Module):
 
     Reference: KM_UNetV3_SH.py:97-151.
 
-    ``fused_directions=True`` evaluates the three EfficientViM blocks and
-    direction attentions as ONE vmapped computation over a stacked (3, B,
-    ...) axis — the same function family (independent per-direction
-    parameters; the three pooling modes all reduce to a global mean,
-    KM_UNetV3_SH.py:243-254). Measured on v5e it is *slower* (13.4 vs 11.0
-    ms at B8 128^2 C16: XLA lowers per-item-kernel batched convs poorly), so
-    the default stays False; kept as an option for other backends/shapes.
+    ``impl`` selects how the three DirectionViM branches are evaluated
+    (identical math and parameter distributions in all cases):
+
+    - ``'fused'`` (default): ONE channel-stacked (B, H, W, 3C) chain
+      (nn/fused_vim.py) — per-branch convs become grouped/block-diagonal
+      convs and per-branch denses become stacked einsums, filling MXU lanes
+      that the C=16..64 single-branch ops leave idle.
+    - ``'separate'``: three independent DirectionViM submodules (the
+      round-2 layout; `fuse_direction_params` migrates its checkpoints).
+    - ``'vmap'``: nn.vmap over a stacked (3, B, ...) axis. Measured on v5e
+      it is *slower* than 'separate' (13.4 vs 11.0 ms at B8 128^2 C16: XLA
+      lowers per-item-kernel batched convs poorly); kept for reference.
     """
 
     expansion: int = 4
     state_dim: int = 64
     drop_path: float = 0.1
-    fused_directions: bool = False
+    impl: str = "fused"
+    packing: str = "grouped"  # 'fused' impl: 'grouped' | 'blockdiag' convs
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from kmunet_tpu.nn.fused_vim import FusedDirectionViM
+
         C = x.shape[-1]
         identity = x
-        if self.fused_directions:
+        if self.impl == "fused":
+            feats = FusedDirectionViM(
+                state_dim=self.state_dim, packing=self.packing, name="directions"
+            )(x, train)  # (B, H, W, 3, C)
+            h_feat, w_feat, c_feat = feats[..., 0, :], feats[..., 1, :], feats[..., 2, :]
+        elif self.impl == "vmap":
             h_in = nn.Conv(C, (3, 1), padding="SAME",
                            kernel_init=kaiming_uniform_torch(), name="height_proj")(x)
             w_in = nn.Conv(C, (1, 3), padding="SAME",

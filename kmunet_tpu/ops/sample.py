@@ -42,11 +42,13 @@ def bilinear_gather(
     contiguous innermost dim — TPU gathers move whole rows, so one wide
     gather beats four narrow ones.
     """
-    if padding_mode == "border" and USE_PALLAS_GATHER is not False:
+    if USE_PALLAS_GATHER is not False:
         from kmunet_tpu.kernels import bilinear_pallas
 
         if USE_PALLAS_GATHER or bilinear_pallas.supported(img.shape, img.dtype):
-            return bilinear_pallas.gather_bilinear_border(img, x, y)
+            if padding_mode == "border":
+                return bilinear_pallas.gather_bilinear_border(img, x, y)
+            return bilinear_pallas.gather_bilinear_zeros(img, x, y)
 
     return bilinear_gather_xla(img, x, y, padding_mode)
 

@@ -122,6 +122,110 @@ class TestBilinearPallas:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+class TestBilinearPallasZeros:
+    """Zeros-padding mode (TrajGRU warp semantics): same kernel body, no
+    coordinate pre-clamp — out-of-range taps must contribute exactly 0."""
+
+    def _coords(self, rng, B, H, W, Ho, Wo, spread=1.5):
+        x = rng.uniform(-spread, W - 1 + spread, (B, Ho, Wo)).astype(np.float32)
+        y = rng.uniform(-spread, H - 1 + spread, (B, Ho, Wo)).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def test_matches_xla_zeros(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_zeros
+        from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+        B, H, W, C, Ho, Wo = 2, 7, 9, 4, 11, 5
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x, y = self._coords(rng, B, H, W, Ho, Wo)
+        got = gather_bilinear_zeros(img, x, y, True)
+        want = bilinear_gather_xla(img, x, y, padding_mode="zeros")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_far_outside_coords_are_zero(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_zeros
+
+        B, H, W, C = 1, 6, 5, 3
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)) + 5.0
+        x = jnp.full((B, 4, 4), -37.0)
+        y = jnp.full((B, 4, 4), 1e6)
+        got = gather_bilinear_zeros(img, x, y, True)
+        np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+    def test_fp32_and_bf16_dtypes(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import (
+            gather_bilinear_border, gather_bilinear_zeros)
+        from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+        B, H, W, C = 2, 8, 8, 4
+        x, y = self._coords(rng, B, H, W, 16, 16)
+        base = rng.normal(size=(B, H, W, C)).astype(np.float32)
+        for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+            img = jnp.asarray(base).astype(dt)
+            for fn, mode in ((gather_bilinear_zeros, "zeros"),
+                             (gather_bilinear_border, "border")):
+                got = fn(img, x.astype(dt), y.astype(dt), True)
+                assert got.dtype == dt
+                want = bilinear_gather_xla(img, x.astype(dt), y.astype(dt),
+                                           padding_mode=mode)
+                np.testing.assert_allclose(
+                    np.asarray(got, np.float32), np.asarray(want, np.float32),
+                    atol=tol)
+
+    def test_grads_match_xla_zeros(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_zeros
+        from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+        B, H, W, C = 1, 6, 5, 3
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x, y = self._coords(rng, B, H, W, 4, 7)
+
+        def loss(fn, img_, x_, y_):
+            return jnp.sum(fn(img_, x_, y_) ** 2)
+
+        g1 = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda i, a, b: gather_bilinear_zeros(i, a, b, True), img, x, y)
+        g2 = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda i, a, b: bilinear_gather_xla(i, a, b, padding_mode="zeros"),
+            img, x, y)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_trajgru_cell_kernel_vs_xla_path(self, rng):
+        """The whole TrajGRU cell (flows -> L warps -> gates) must agree
+        between the kernel warp and the XLA warp."""
+        from kmunet_tpu.models.ef import TrajGRUCell
+        from kmunet_tpu.ops import sample
+
+        B, H, W, C = 1, 8, 8, 16
+        cell = TrajGRUCell(filters=C, L=5)
+        h = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(B, H, W, 8)).astype(np.float32))
+        v = cell.init(jax.random.PRNGKey(0), h, x)
+
+        old = sample.USE_PALLAS_GATHER
+        try:
+            sample.USE_PALLAS_GATHER = False
+            _, y_xla = cell.apply(v, h, x)
+            sample.USE_PALLAS_GATHER = True  # forces dispatch; interpret off-TPU
+            import kmunet_tpu.kernels.bilinear_pallas as bp
+            orig = bp._gather_bilinear
+
+            def interp(img, xx, yy, interpret, zeros):
+                return orig(img, xx, yy, True, zeros)
+
+            try:
+                bp._gather_bilinear = interp
+                # route the module-level wrappers through interpret mode
+                _, y_kern = cell.apply(v, h, x)
+            finally:
+                bp._gather_bilinear = orig
+        finally:
+            sample.USE_PALLAS_GATHER = old
+        np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_xla),
+                                   atol=2e-5)
+
+
 class TestBilinearPallasSharded:
     """The kernel must compose with data AND spatial sharding under jit
     (custom_partitioning; VERDICT r1 weak #3). Runs interpret-mode on the

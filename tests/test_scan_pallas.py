@@ -77,6 +77,29 @@ class TestSelectiveScanPallas:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("L,D,N", [(64, 8, 4), (256, 16, 16)])
+    def test_vjp_all_six_grads_multichunk(self, rng, L, D, N):
+        """Pallas reverse-scan backward (kernels/scan_pallas.py::_backward):
+        all six input gradients, at a multi-chunk L so the checkpoint array
+        and the cross-chunk cotangent message are exercised."""
+        args = _inputs(rng, B=2, L=L, D=D, N=N)
+        cot = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, L, D)).astype(np.float32))
+
+        def f_kernel(*a):
+            return jnp.sum(selective_scan_pallas(*a, True) * cot)
+
+        def f_xla(*a):
+            return jnp.sum(_selective_scan_xla(*a) * cot)
+
+        g1 = jax.grad(f_kernel, argnums=tuple(range(6)))(*args)
+        g2 = jax.grad(f_xla, argnums=tuple(range(6)))(*args)
+        names = ["dx", "ddt", "dA", "dB", "dC", "dD"]
+        for n, a, b in zip(names, g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad {n} mismatch at L={L} D={D} N={N}")
+
     def test_supported_shapes(self):
         assert supported(16384, 16, 16)
         assert supported(16384, 128, 16)

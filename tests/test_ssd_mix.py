@@ -51,8 +51,11 @@ class TestSSDMixKernel:
                                    rtol=1e-5, atol=1e-5)
 
     @pytest.mark.parametrize("wrt", [0, 1, 4, 5])
-    def test_vjp_matches_reference(self, rng, wrt):
-        kw = _inputs(rng, B=1, C=4, L=32, N=8)
+    def test_vjp_matches_reference(self, wrt):
+        # dedicated rng: the session fixture's state depends on which tests
+        # ran before, and the wrt=4 noise-floor assertion (below) needs
+        # order-independent inputs.
+        kw = _inputs(np.random.default_rng(12345), B=1, C=4, L=32, N=8)
         args = (kw["xt"], kw["dt"], kw["Bm"], kw["Cm"], kw["A_param"],
                 kw["w_hz"], kw["w_out"], kw["D"])
 
