@@ -74,7 +74,9 @@ def measure() -> float:
 
     model = KM_UNetV3_SH(num_classes=OUT_FRAMES)
     x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, IMG, IMG, 5))
-    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 5)))
+    # jit the init: eager init dispatches each param op over the remote-TPU
+    # tunnel individually (minutes); one traced executable is seconds.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 5)))
     # bf16 inference — the reference evaluates in fp16 (.half(),
     # train_shanghai.py:242); bf16 is the TPU-native equivalent. +16% fps.
     variables = _bf16_tree(variables)
@@ -146,7 +148,8 @@ def measure_zoo(img=IMG, out_frames=OUT_FRAMES, only=None) -> list[dict]:
         else:
             shape = (batch, img, img, 5)
         x = jax.random.uniform(jax.random.PRNGKey(0), shape)
-        variables = _bf16_tree(model.init(jax.random.PRNGKey(1), jnp.zeros((1,) + shape[1:])))
+        variables = _bf16_tree(
+            jax.jit(model.init)(jax.random.PRNGKey(1), jnp.zeros((1,) + shape[1:])))
         x = x.astype(jnp.bfloat16)
         fn = lambda v, xx: model.apply(v, xx)  # noqa: E731
         dt = _chain_time(fn, variables, x)

@@ -109,6 +109,54 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
     out_ref[0] = out.astype(dt)
 
 
+def _kernel_grouped(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
+                    *, tt, hs, w, cg, ng):
+    """Group-aware body: channel block g samples at its own coords.
+
+    One tile covers ALL ng*cg channels. The per-group chain stays fully
+    local — row matmul against the group's source lane slice, tap select,
+    compaction against the SAME small (cg*W, cg) constant (the c-major
+    block pattern is identical in every group), output written to the
+    group's channel slice — so VMEM holds only ~3 (tt, cg*W) temporaries
+    and tt can stay large. Large tt is the whole game here: total MXU/VPU
+    work is invariant under re-tiling, but small tiles multiply the matmul
+    count and the MXU pipeline fill/drain overhead dominates (measured:
+    tt=128 -> 79 ms at the dec3 DySample shape vs 39 ms ungrouped at
+    tt=512, identical FLOPs)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = src_ref.dtype
+    src = src_ref[0]             # (H, C*W) channel-major lanes
+    m = m_ref[...]               # (cg*W, cg) per-group compaction
+
+    def eqf(ia, ib):
+        return jnp.maximum(1 - jnp.abs(ia - ib), 0).astype(jnp.float32)
+
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    ih = jax.lax.broadcasted_iota(jnp.int32, (tt, hs), 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 1)
+    for g in range(ng):
+        y0 = y0_ref[0, g, 0]     # (tt, 1) i32
+        x0 = x0_ref[0, g, 0]
+        wy = wy_ref[0, g, 0]
+        wx = wx_ref[0, g, 0]
+        y0b = jnp.broadcast_to(y0, (tt, hs))
+        wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
+        wyrow = (eqf(ih, y0b) * (1.0 - wyb) + eqf(ih, y0b + 1) * wyb).astype(dt)
+        s1_g = jax.lax.dot_general(
+            wyrow, src[:, g * cg * w:(g + 1) * cg * w],
+            (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(dt)
+        x0b = jnp.broadcast_to(x0, (tt, w))
+        wxb = jnp.broadcast_to(wx, (tt, w)).astype(jnp.float32)
+        wxrow = (eqf(iw, x0b) * (1.0 - wxb) + eqf(iw, x0b + 1) * wxb).astype(dt)
+        out_g = jax.lax.dot_general(
+            s1_g * pltpu.repeat(wxrow, cg, axis=1), m,
+            (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        out_ref[0, :, g * cg:(g + 1) * cg] = out_g.astype(dt)
+
+
 def supported(img_shape, dtype, interpret: bool = False) -> bool:
     """Fast path only for 16-bit dtypes on TPU (or interpret for tests).
 
@@ -312,3 +360,168 @@ def _bwd(interpret, zeros, res, g):
 
 
 _gather_bilinear.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Grouped variant: channel block g sampled at its own coordinates (B, G, ...)
+# — the DySample layout (DySample_md.py:58-60 samples each of `groups`
+# channel groups with its own offset field). One kernel call over the FULL
+# channel width instead of folding groups into the batch axis: same MXU
+# FLOPs, 1/G the tile rows and eq-mask VPU work (measured ~2x at dec3).
+# --------------------------------------------------------------------------
+
+def supported_grouped(img_shape, groups, dtype, interpret=False) -> bool:
+    B, H, W, C = img_shape
+    if C % groups or groups > 8:
+        return False
+    return supported(img_shape, dtype, interpret)
+
+
+def _xla_reference_grouped(img, x, y, zeros=False):
+    from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+    G = x.shape[1]
+    Cg = img.shape[-1] // G
+    mode = "zeros" if zeros else "border"
+    return jnp.concatenate(
+        [bilinear_gather_xla(img[..., g * Cg:(g + 1) * Cg], x[:, g], y[:, g],
+                             padding_mode=mode)
+         for g in range(G)], axis=-1)
+
+
+def _forward_grouped(img, x, y, interpret, zeros=False):
+    B, H, W, C = img.shape
+    G = x.shape[1]
+    Cg = C // G
+    Ho, Wo = x.shape[2:4]
+    WC = W * C
+    T = Ho * Wo
+    dt = img.dtype
+
+    # The VMEM working set is per-GROUP (~3 temporaries of (tt, Cg*W)), so
+    # the tile budget scales with Cg*W, not W*C — this is what lets tt stay
+    # large (small tiles multiply matmul count; MXU pipeline fill dominates).
+    CgW = Cg * W
+    budget = _VMEM_BUDGET_ELEMS if dt in (jnp.bfloat16, jnp.float16) \
+        else _VMEM_BUDGET_ELEMS // 2
+    tt = 2048
+    while tt * CgW > budget and tt > 128:
+        tt //= 2
+    while tt > 128 and tt // 2 >= T:
+        tt //= 2
+    tpad = (-T) % tt
+    ntt = (T + tpad) // tt
+
+    if zeros:
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
+    else:
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dt).reshape(B, G, T)
+    wy = (y - y0).astype(dt).reshape(B, G, T)
+    x0 = x0.astype(jnp.int32).reshape(B, G, T)
+    y0 = y0.astype(jnp.int32).reshape(B, G, T)
+    if tpad:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, tpad)))  # noqa: E731
+        x0, y0, wx, wy = pad(x0), pad(y0), pad(wx), pad(wy)
+
+    # Per-group compaction (the c-major block pattern repeats per group, so
+    # one small (Cg*W, Cg) constant serves every group).
+    m = (
+        jax.lax.broadcasted_iota(jnp.int32, (CgW, Cg), 0) // W
+        == jax.lax.broadcasted_iota(jnp.int32, (CgW, Cg), 1)
+    ).astype(dt)
+    r5 = lambda a: a.reshape(B, G, ntt, tt, 1)  # noqa: E731
+    src_cm = img.transpose(0, 1, 3, 2).reshape(B, H, WC)
+
+    cspec = pl.BlockSpec((1, G, 1, tt, 1), lambda b, t: (b, 0, t, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped, tt=tt, hs=H, w=W, cg=Cg, ng=G),
+        grid=(B, ntt),
+        in_specs=[cspec, cspec, cspec, cspec,
+                  pl.BlockSpec((CgW, Cg), lambda b, t: (0, 0)),
+                  pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, tt, C), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntt * tt, C), dt),
+        interpret=interpret,
+    )(r5(y0), r5(x0), r5(wy), r5(wx), m, src_cm)
+    return out[:, :T].reshape(B, Ho, Wo, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward_grouped(interpret: bool, zeros: bool):
+    """Partitioning contract (mirrors _partitioned_forward):
+
+        img (b, h, w, c), x (b, g, i, j), y (b, g, i, j) -> out (b, i, j, c)
+
+    b / i / j shard freely; h / w / g / c are need-replication (c-shards
+    would have to align with group boundaries AND slice the g axis — none
+    of our mesh layouts shard activations over channels)."""
+
+    def impl(img, x, y):
+        return _forward_grouped(img, x, y, interpret, zeros)
+
+    op = custom_partitioning(impl)
+
+    def _norm(spec, n):
+        s = tuple(spec) if spec is not None else ()
+        return (s + (None,) * n)[:n]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, i, j, _ = _norm(result_shape.sharding.spec, 4)
+        result_sharding = NamedSharding(mesh, P(b, i, j, None))
+        arg_shardings = (
+            NamedSharding(mesh, P(b, None, None, None)),
+            NamedSharding(mesh, P(b, None, i, j)),
+            NamedSharding(mesh, P(b, None, i, j)),
+        )
+        return mesh, impl, result_sharding, arg_shardings
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b, _, _, _ = _norm(arg_shapes[0].sharding.spec, 4)
+        _, _, i, j = _norm(arg_shapes[1].sharding.spec, 4)
+        return NamedSharding(mesh, P(b, i, j, None))
+
+    op.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b h w c, b g i j, b g i j -> b i j c",
+        need_replication_factors=("h", "w", "g", "c"),
+    )
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_bilinear_grouped(img, x, y, interpret, zeros):
+    return _partitioned_forward_grouped(bool(interpret), bool(zeros))(img, x, y)
+
+
+def _fwd_grouped(img, x, y, interpret, zeros):
+    return (_partitioned_forward_grouped(bool(interpret), bool(zeros))(img, x, y),
+            (img, x, y))
+
+
+def _bwd_grouped(interpret, zeros, res, g):
+    img, x, y = res
+    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference_grouped(i, xx, yy, zeros),
+                     img, x, y)
+    return vjp(g)
+
+
+_gather_bilinear_grouped.defvjp(_fwd_grouped, _bwd_grouped)
+
+
+def gather_bilinear_grouped(img, x, y, zeros=False, interpret=False):
+    """Per-group bilinear sample: channel block ``g`` of ``img`` (B, H, W, C)
+    is sampled at coords ``x[:, g], y[:, g]`` ((B, G, Ho, Wo) pixel space).
+    Returns (B, Ho, Wo, C). Semantics == concatenating G plain gathers over
+    the channel blocks (DySample's per-group sampling, DySample_md.py:58-60).
+    """
+    from kmunet_tpu.utils.flops import record_custom_flops
+
+    B, G, Ho, Wo = x.shape
+    record_custom_flops(8.0 * B * Ho * Wo * img.shape[-1])
+    return _gather_bilinear_grouped(img, x, y, bool(interpret), bool(zeros))

@@ -113,13 +113,16 @@ class FusedDirectionViM(nn.Module):
             else:
                 k = _blockdiag(k_stack)
                 fg = 1
+            # cast to the CURRENT operand dtype (BatchNorm's fp32 params
+            # promote activations to f32 in mixed-precision trees; casting
+            # the kernel to match keeps the conv well-typed).
             y = jax.lax.conv_general_dilated(
-                u, k.astype(dt_), (1, 1), "SAME",
+                u, k.astype(u.dtype), (1, 1), "SAME",
                 feature_group_count=fg,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             if bias is not None:
-                y = y + bias.reshape(-1).astype(dt_)
+                y = y + bias.reshape(-1).astype(y.dtype)
             return y
 
         def bn(name, u, scale_init=1.0):

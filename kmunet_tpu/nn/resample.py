@@ -12,7 +12,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from kmunet_tpu.nn.init import kaiming_uniform_torch, normal_init
-from kmunet_tpu.ops.sample import bilinear_gather, grid_sample_bilinear
+from kmunet_tpu.ops.sample import (
+    bilinear_gather,
+    bilinear_gather_grouped,
+    grid_sample_bilinear,
+)
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -105,22 +109,15 @@ class DySample(nn.Module):
         px = jj + 0.5 + init_x[None, None, :, :, None] + offx  # (B,H,W,s,s,g)
         py = ii + 0.5 + init_y[None, None, :, :, None] + offy
 
-        # Normalize exactly like the reference: 2*(coord+off)/size - 1, then
-        # grid_sample(align_corners=False, border).
-        gx = 2.0 * px / W - 1.0
-        gy = 2.0 * py / H - 1.0
-
-        # (B,H,W,s,s,g,2) -> (B, sH, sW, g, 2)
-        grid = jnp.stack([gx, gy], axis=-1)
-        grid = grid.transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, s * H, s * W, g, 2)
-
-        # Group the channels and sample each group with its own grid.
-        xg = x.reshape(B, H, W, g, C // g).transpose(0, 3, 1, 2, 4)
-        xg = xg.reshape(B * g, H, W, C // g)
-        gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, s * H, s * W, 2)
-        out = grid_sample_bilinear(xg, gg, align_corners=False, padding_mode="border")
-        out = out.reshape(B, g, s * H, s * W, C // g).transpose(0, 2, 3, 1, 4)
-        return out.reshape(B, s * H, s * W, C)
+        # The reference normalizes to grid space (2*(coord)/size - 1) and
+        # grid_sample(align_corners=False) maps straight back to pixel space
+        # px - 0.5 — we skip the exact-inverse round trip and sample all
+        # groups in ONE grouped gather (no group->batch folding, no channel
+        # regroup transposes; see ops/sample.py::bilinear_gather_grouped).
+        # (B,H,W,s,s,g) -> (B, g, sH, sW): out pixel (s*i+di, s*j+dj).
+        xs = (px - 0.5).transpose(0, 5, 1, 3, 2, 4).reshape(B, g, s * H, s * W)
+        ys = (py - 0.5).transpose(0, 5, 1, 3, 2, 4).reshape(B, g, s * H, s * W)
+        return bilinear_gather_grouped(x, xs, ys, padding_mode="border")
 
 
 class DeformConv2d(nn.Module):

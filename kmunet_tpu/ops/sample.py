@@ -53,6 +53,40 @@ def bilinear_gather(
     return bilinear_gather_xla(img, x, y, padding_mode)
 
 
+def bilinear_gather_grouped(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Per-group bilinear sample (the DySample layout, DySample_md.py:58-60).
+
+    Channel block ``g`` of ``img`` (B, H, W, C) is sampled at its own coords
+    ``x[:, g], y[:, g]`` ((B, G, Ho, Wo) pixel space); returns (B, Ho, Wo, C).
+
+    Fast path: the group-aware Pallas kernel — ONE call over the full
+    channel width. Folding groups into the batch axis instead multiplies
+    the kernel's tile-row count (and VPU weight-row construction) by G:
+    measured 76 vs 39 ms at the dec3 DySample shape (B128 64^2 C64 G4).
+    """
+    G = x.shape[1]
+    if USE_PALLAS_GATHER is not False:
+        from kmunet_tpu.kernels import bilinear_pallas
+
+        if USE_PALLAS_GATHER or bilinear_pallas.supported_grouped(
+                img.shape, G, img.dtype):
+            return bilinear_pallas.gather_bilinear_grouped(
+                img, x, y, zeros=(padding_mode == "zeros"))
+
+    B, H, W, C = img.shape
+    Cg = C // G
+    Ho, Wo = x.shape[2:]
+    xg = img.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
+    out = bilinear_gather_xla(
+        xg, x.reshape(B * G, Ho, Wo), y.reshape(B * G, Ho, Wo), padding_mode)
+    return out.reshape(B, G, Ho, Wo, Cg).transpose(0, 2, 3, 1, 4).reshape(B, Ho, Wo, C)
+
+
 def bilinear_gather_xla(
     img: jnp.ndarray,
     x: jnp.ndarray,

@@ -33,7 +33,9 @@ def bf16(tree):
 
 
 def time_module(mod, *xs, iters=30, **apply_kw):
-    variables = mod.init(jax.random.PRNGKey(0), *xs, **apply_kw)
+    # jitted init: eager init dispatches each param op over the remote-TPU
+    # tunnel individually (minutes for big modules).
+    variables = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), *xs, **apply_kw))()
     variables = bf16(variables)
 
     def f(*xs):

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from kmunet_tpu.kernels import (
     fused_kanconv,
@@ -220,6 +221,92 @@ class TestBilinearPallasZeros:
                 _, y_kern = cell.apply(v, h, x)
             finally:
                 bp._gather_bilinear = orig
+        finally:
+            sample.USE_PALLAS_GATHER = old
+        np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_xla),
+                                   atol=2e-5)
+
+
+class TestBilinearPallasGrouped:
+    """Group-aware kernel (DySample layout): channel block g samples at its
+    own coords. Must equal G concatenated plain gathers."""
+
+    def _case(self, rng, B=2, H=9, W=7, C=12, G=3, Ho=10, Wo=6, spread=1.5):
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(-spread, W - 1 + spread,
+                                    (B, G, Ho, Wo)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-spread, H - 1 + spread,
+                                    (B, G, Ho, Wo)).astype(np.float32))
+        return img, x, y
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_matches_per_group_xla(self, rng, zeros):
+        from kmunet_tpu.kernels.bilinear_pallas import (
+            _xla_reference_grouped, gather_bilinear_grouped)
+
+        img, x, y = self._case(rng)
+        got = gather_bilinear_grouped(img, x, y, zeros=zeros, interpret=True)
+        want = _xla_reference_grouped(img, x, y, zeros=zeros)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_dispatch_fallback_matches(self, rng):
+        from kmunet_tpu.ops import sample
+
+        img, x, y = self._case(rng)
+        old = sample.USE_PALLAS_GATHER
+        try:
+            sample.USE_PALLAS_GATHER = False
+            want = sample.bilinear_gather_grouped(img, x, y)
+        finally:
+            sample.USE_PALLAS_GATHER = old
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_grouped
+
+        got = gather_bilinear_grouped(img, x, y, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_grads_match_xla(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import (
+            _xla_reference_grouped, gather_bilinear_grouped)
+
+        img, x, y = self._case(rng, B=1, H=6, W=5, C=8, G=2, Ho=4, Wo=4)
+
+        g1 = jax.grad(lambda i, a, b: jnp.sum(
+            gather_bilinear_grouped(i, a, b, interpret=True) ** 2),
+            argnums=(0, 1, 2))(img, x, y)
+        g2 = jax.grad(lambda i, a, b: jnp.sum(
+            _xla_reference_grouped(i, a, b) ** 2), argnums=(0, 1, 2))(img, x, y)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_dysample_uses_grouped_path(self, rng):
+        """DySample through the grouped kernel (interpret) == the XLA
+        fallback path, at fp32."""
+        from kmunet_tpu.nn.resample import DySample
+        from kmunet_tpu.ops import sample
+        import kmunet_tpu.kernels.bilinear_pallas as bp
+
+        B, H, W, C = 1, 8, 8, 16
+        x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        mod = DySample(scale=2, style="lp", groups=4)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        # make offsets non-trivial
+        v = jax.tree.map(lambda p: p + 0.3 if p.ndim == 4 else p, v)
+
+        old = sample.USE_PALLAS_GATHER
+        try:
+            sample.USE_PALLAS_GATHER = False
+            y_xla = mod.apply(v, x)
+            sample.USE_PALLAS_GATHER = True
+            orig = bp._gather_bilinear_grouped
+
+            def interp(img, xx, yy, interpret, zeros):
+                return orig(img, xx, yy, True, zeros)
+
+            try:
+                bp._gather_bilinear_grouped = interp
+                y_kern = mod.apply(v, x)
+            finally:
+                bp._gather_bilinear_grouped = orig
         finally:
             sample.USE_PALLAS_GATHER = old
         np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_xla),
