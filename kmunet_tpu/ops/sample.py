@@ -174,17 +174,27 @@ def resize_bilinear(
     Ho, Wo = size
     if (H, W) == (Ho, Wo):
         return img
+    cdt = jnp.float32  # coord/weight math in fp32 (bf16 coords lose pixels)
     if align_corners:
-        ys = jnp.arange(Ho, dtype=img.dtype) * ((H - 1) / max(Ho - 1, 1))
-        xs = jnp.arange(Wo, dtype=img.dtype) * ((W - 1) / max(Wo - 1, 1))
+        ys = jnp.arange(Ho, dtype=cdt) * ((H - 1) / max(Ho - 1, 1))
+        xs = jnp.arange(Wo, dtype=cdt) * ((W - 1) / max(Wo - 1, 1))
     else:
-        ys = (jnp.arange(Ho, dtype=img.dtype) + 0.5) * (H / Ho) - 0.5
-        xs = (jnp.arange(Wo, dtype=img.dtype) + 0.5) * (W / Wo) - 0.5
+        ys = (jnp.arange(Ho, dtype=cdt) + 0.5) * (H / Ho) - 0.5
+        xs = (jnp.arange(Wo, dtype=cdt) + 0.5) * (W / Wo) - 0.5
         ys = jnp.clip(ys, 0, H - 1)
         xs = jnp.clip(xs, 0, W - 1)
-    y = jnp.broadcast_to(ys[None, :, None], (B, Ho, Wo))
-    x = jnp.broadcast_to(xs[None, None, :], (B, Ho, Wo))
-    return bilinear_gather(img, x, y, padding_mode="border")
+
+    # Axis-aligned resize is SEPARABLE: out = Ry @ img @ Rx^T with constant
+    # interpolation matrices R[o, i] = max(0, 1 - |coord[o] - i|) (exactly
+    # the two bilinear taps per row; border clamp is implicit because coords
+    # are already in-range). Two MXU matmuls that XLA folds/fuses — no
+    # per-pixel weight-row construction, natively differentiable (the
+    # transpose matmuls ARE the gradient) — vs the generic gather path,
+    # which builds (tile, H)+(tile, W) weight rows from coords per call.
+    ry = jnp.maximum(1.0 - jnp.abs(ys[:, None] - jnp.arange(H, dtype=cdt)[None]), 0.0)
+    rx = jnp.maximum(1.0 - jnp.abs(xs[:, None] - jnp.arange(W, dtype=cdt)[None]), 0.0)
+    t = jnp.einsum("oh,bhwc->bowc", ry.astype(img.dtype), img)
+    return jnp.einsum("pw,bowc->bopc", rx.astype(img.dtype), t)
 
 
 def grid_sample_bilinear(

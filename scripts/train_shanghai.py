@@ -27,7 +27,9 @@ def main():
     if cfg.data.path is None and cfg.data.name == "shanghai":
         print("no --data.path given; falling back to synthetic data")
         cfg.data.name = "synthetic"
-    results = train_and_evaluate(cfg, log_csv="outputs/shanghai_epochs.csv")
+    csv_dir = cfg.train.out_dir or "outputs"
+    results = train_and_evaluate(
+        cfg, log_csv=os.path.join(csv_dir, "shanghai_epochs.csv"))
     print({k: v for k, v in results.items() if k != "history"})
 
 
