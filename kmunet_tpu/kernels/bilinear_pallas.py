@@ -110,19 +110,25 @@ def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
 
 
 def _kernel_grouped(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
-                    *, tt, hs, w, cg, ng):
+                    *, tt, hs, w, cg, ng, shared_src=False):
     """Group-aware body: channel block g samples at its own coords.
 
-    One tile covers ALL ng*cg channels. The per-group chain stays fully
-    local — row matmul against the group's source lane slice, tap select,
-    compaction against the SAME small (cg*W, cg) constant (the c-major
-    block pattern is identical in every group), output written to the
-    group's channel slice — so VMEM holds only ~3 (tt, cg*W) temporaries
-    and tt can stay large. Large tt is the whole game here: total MXU/VPU
-    work is invariant under re-tiling, but small tiles multiply the matmul
-    count and the MXU pipeline fill/drain overhead dominates (measured:
-    tt=128 -> 79 ms at the dec3 DySample shape vs 39 ms ungrouped at
-    tt=512, identical FLOPs)."""
+    One tile covers ALL ng*cg output channels. The per-group chain stays
+    fully local — row matmul against the group's source lane slice, tap
+    select, compaction against the SAME small (cg*W, cg) constant (the
+    c-major block pattern is identical in every group), output written to
+    the group's channel slice — so VMEM holds only ~3 (tt, cg*W)
+    temporaries and tt can stay large. Large tt is the whole game here:
+    total MXU/VPU work is invariant under re-tiling, but small tiles
+    multiply the matmul count and the MXU pipeline fill/drain overhead
+    dominates (measured: tt=128 -> 79 ms at the dec3 DySample shape vs
+    39 ms ungrouped at tt=512, identical FLOPs).
+
+    ``shared_src=True`` is the MULTIVIEW layout: every group samples the
+    SAME full-width source (cg == C) at its own coords — TrajGRU's L flow
+    warps of one hidden state (models/TrajGru.py:39-57). The source block
+    is DMA'd once per tile instead of once per (batch-folded) view, and
+    the L-fold HBM replication of the source disappears entirely."""
     from jax.experimental.pallas import tpu as pltpu
 
     dt = src_ref.dtype
@@ -143,8 +149,9 @@ def _kernel_grouped(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
         y0b = jnp.broadcast_to(y0, (tt, hs))
         wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
         wyrow = (eqf(ih, y0b) * (1.0 - wyb) + eqf(ih, y0b + 1) * wyb).astype(dt)
+        off = 0 if shared_src else g * cg * w
         s1_g = jax.lax.dot_general(
-            wyrow, src[:, g * cg * w:(g + 1) * cg * w],
+            wyrow, src[:, off:off + cg * w],
             (((1,), (0,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32).astype(dt)
         x0b = jnp.broadcast_to(x0, (tt, w))
@@ -389,10 +396,10 @@ def _xla_reference_grouped(img, x, y, zeros=False):
          for g in range(G)], axis=-1)
 
 
-def _forward_grouped(img, x, y, interpret, zeros=False):
+def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
     B, H, W, C = img.shape
     G = x.shape[1]
-    Cg = C // G
+    Cg = C if shared else C // G
     Ho, Wo = x.shape[2:4]
     WC = W * C
     T = Ho * Wo
@@ -437,18 +444,20 @@ def _forward_grouped(img, x, y, interpret, zeros=False):
     r5 = lambda a: a.reshape(B, G, ntt, tt, 1)  # noqa: E731
     src_cm = img.transpose(0, 1, 3, 2).reshape(B, H, WC)
 
+    Cout = G * Cg if shared else C
     cspec = pl.BlockSpec((1, G, 1, tt, 1), lambda b, t: (b, 0, t, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_kernel_grouped, tt=tt, hs=H, w=W, cg=Cg, ng=G),
+        functools.partial(_kernel_grouped, tt=tt, hs=H, w=W, cg=Cg, ng=G,
+                          shared_src=shared),
         grid=(B, ntt),
         in_specs=[cspec, cspec, cspec, cspec,
                   pl.BlockSpec((CgW, Cg), lambda b, t: (0, 0)),
                   pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, tt, C), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, ntt * tt, C), dt),
+        out_specs=pl.BlockSpec((1, tt, Cout), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntt * tt, Cout), dt),
         interpret=interpret,
     )(r5(y0), r5(x0), r5(wy), r5(wx), m, src_cm)
-    return out[:, :T].reshape(B, Ho, Wo, C)
+    return out[:, :T].reshape(B, Ho, Wo, Cout)
 
 
 @functools.lru_cache(maxsize=None)
@@ -525,3 +534,104 @@ def gather_bilinear_grouped(img, x, y, zeros=False, interpret=False):
     B, G, Ho, Wo = x.shape
     record_custom_flops(8.0 * B * Ho * Wo * img.shape[-1])
     return _gather_bilinear_grouped(img, x, y, bool(interpret), bool(zeros))
+
+
+# --------------------------------------------------------------------------
+# Multiview variant: ONE source sampled at G coordinate sets -> (B,Ho,Wo,G*C)
+# — the TrajGRU warp layout (models/TrajGru.py:39-57 warps prev_h by each of
+# L flow fields and concatenates channel-wise). vs folding views into the
+# batch axis: the source is DMA'd once per tile instead of once per view,
+# and the L-fold HBM broadcast of the hidden state disappears.
+# --------------------------------------------------------------------------
+
+def supported_multiview(img_shape, views, dtype, interpret=False) -> bool:
+    if views > 16:
+        return False  # unrolled per-view loop; keep Mosaic compiles bounded
+    return supported(img_shape, dtype, interpret)
+
+
+def _xla_reference_multiview(img, x, y, zeros=False):
+    from kmunet_tpu.ops.sample import bilinear_gather_xla
+
+    B, H, W, C = img.shape
+    G, Ho, Wo = x.shape[1:]
+    mode = "zeros" if zeros else "border"
+    rep = jnp.broadcast_to(img[:, None], (B, G, H, W, C)).reshape(B * G, H, W, C)
+    out = bilinear_gather_xla(rep, x.reshape(B * G, Ho, Wo),
+                              y.reshape(B * G, Ho, Wo), padding_mode=mode)
+    return out.reshape(B, G, Ho, Wo, C).transpose(0, 2, 3, 1, 4).reshape(
+        B, Ho, Wo, G * C)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward_multiview(interpret: bool, zeros: bool):
+    """Partitioning contract:
+
+        img (b, h, w, c), x (b, g, i, j), y (b, g, i, j) -> out (b, i, j, k)
+
+    b / i / j shard freely; h / w / g / c (and the fused output channel k =
+    g*c) are need-replication."""
+
+    def impl(img, x, y):
+        return _forward_grouped(img, x, y, interpret, zeros, shared=True)
+
+    op = custom_partitioning(impl)
+
+    def _norm(spec, n):
+        s = tuple(spec) if spec is not None else ()
+        return (s + (None,) * n)[:n]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, i, j, _ = _norm(result_shape.sharding.spec, 4)
+        result_sharding = NamedSharding(mesh, P(b, i, j, None))
+        arg_shardings = (
+            NamedSharding(mesh, P(b, None, None, None)),
+            NamedSharding(mesh, P(b, None, i, j)),
+            NamedSharding(mesh, P(b, None, i, j)),
+        )
+        return mesh, impl, result_sharding, arg_shardings
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b, _, _, _ = _norm(arg_shapes[0].sharding.spec, 4)
+        _, _, i, j = _norm(arg_shapes[1].sharding.spec, 4)
+        return NamedSharding(mesh, P(b, i, j, None))
+
+    op.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b h w c, b g i j, b g i j -> b i j k",
+        need_replication_factors=("h", "w", "g", "c", "k"),
+    )
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_bilinear_multiview(img, x, y, interpret, zeros):
+    return _partitioned_forward_multiview(bool(interpret), bool(zeros))(img, x, y)
+
+
+def _fwd_multiview(img, x, y, interpret, zeros):
+    return (_partitioned_forward_multiview(bool(interpret), bool(zeros))(img, x, y),
+            (img, x, y))
+
+
+def _bwd_multiview(interpret, zeros, res, g):
+    img, x, y = res
+    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference_multiview(i, xx, yy, zeros),
+                     img, x, y)
+    return vjp(g)
+
+
+_gather_bilinear_multiview.defvjp(_fwd_multiview, _bwd_multiview)
+
+
+def gather_bilinear_multiview(img, x, y, zeros=False, interpret=False):
+    """Sample ``img`` (B, H, W, C) at ``G`` coordinate sets ``x[:, g], y[:, g]``
+    ((B, G, Ho, Wo) pixel space). Returns (B, Ho, Wo, G*C) with view ``g`` in
+    channel block ``[g*C, (g+1)*C)`` — TrajGRU's warped-state layout
+    (models/TrajGru.py:39-57)."""
+    from kmunet_tpu.utils.flops import record_custom_flops
+
+    B, G, Ho, Wo = x.shape
+    record_custom_flops(8.0 * B * G * Ho * Wo * img.shape[-1])
+    return _gather_bilinear_multiview(img, x, y, bool(interpret), bool(zeros))

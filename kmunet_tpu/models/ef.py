@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from kmunet_tpu.nn.init import kaiming_uniform_torch
-from kmunet_tpu.ops.sample import grid_sample_bilinear
+from kmunet_tpu.ops.sample import bilinear_gather_multiview
 
 
 def leaky(x):
@@ -99,19 +99,17 @@ class TrajGRUCell(nn.Module):
         flows = conv(2 * self.L, 5, 1, 2, name="flows_conv")(leaky(f))
         flows = flows.reshape(B, H, W, self.L, 2)
 
-        # wrap(prev_h, -flow): sample h at grid - flow, align_corners=True.
+        # wrap(prev_h, -flow): sample h at grid - flow. The reference's
+        # grid_sample(align_corners=True) normalize/denormalize round-trip
+        # is the identity in pixel space, so we sample at vx/vy directly —
+        # ONE multiview gather of the shared h at all L flow fields
+        # (ops/sample.py::bilinear_gather_multiview; view l lands in channel
+        # block l, matching the reference's (L, C) concat order).
         xx = jnp.arange(W, dtype=h.dtype)[None, None, :, None]
         yy = jnp.arange(H, dtype=h.dtype)[None, :, None, None]
-        vx = xx - flows[..., 0]
-        vy = yy - flows[..., 1]
-        gx = 2.0 * vx / max(W - 1, 1) - 1.0
-        gy = 2.0 * vy / max(H - 1, 1) - 1.0
-        grid = jnp.stack([gx, gy], axis=-1)  # (B, H, W, L, 2)
-        grid = grid.transpose(0, 3, 1, 2, 4).reshape(B * self.L, H, W, 2)
-        h_rep = jnp.broadcast_to(h[:, None], (B, self.L, H, W, C)).reshape(B * self.L, H, W, C)
-        warped = grid_sample_bilinear(h_rep, grid, align_corners=True, padding_mode="zeros")
-        warped = warped.reshape(B, self.L, H, W, C).transpose(0, 2, 3, 1, 4)
-        warped = warped.reshape(B, H, W, self.L * C)
+        vx = (xx - flows[..., 0]).transpose(0, 3, 1, 2)  # (B, L, H, W)
+        vy = (yy - flows[..., 1]).transpose(0, 3, 1, 2)
+        warped = bilinear_gather_multiview(h, vx, vy, padding_mode="zeros")
 
         h2h = nn.Conv(
             3 * self.filters, (1, 1), kernel_init=kaiming_uniform_torch(), name="ret"

@@ -87,6 +87,40 @@ def bilinear_gather_grouped(
     return out.reshape(B, G, Ho, Wo, Cg).transpose(0, 2, 3, 1, 4).reshape(B, Ho, Wo, C)
 
 
+def bilinear_gather_multiview(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Sample ONE source at G coordinate sets (the TrajGRU warp layout,
+    models/TrajGru.py:39-57).
+
+    ``img`` (B, H, W, C) sampled at ``x[:, g], y[:, g]`` ((B, G, Ho, Wo)
+    pixel space); returns (B, Ho, Wo, G*C), view g in channel block g.
+
+    Fast path: the shared-source Pallas kernel — the source block is DMA'd
+    once per tile instead of once per batch-folded view, and the G-fold HBM
+    broadcast of the source disappears.
+    """
+    G = x.shape[1]
+    if USE_PALLAS_GATHER is not False:
+        from kmunet_tpu.kernels import bilinear_pallas
+
+        if USE_PALLAS_GATHER or bilinear_pallas.supported_multiview(
+                img.shape, G, img.dtype):
+            return bilinear_pallas.gather_bilinear_multiview(
+                img, x, y, zeros=(padding_mode == "zeros"))
+
+    B, H, W, C = img.shape
+    Ho, Wo = x.shape[2:]
+    rep = jnp.broadcast_to(img[:, None], (B, G, H, W, C)).reshape(B * G, H, W, C)
+    out = bilinear_gather_xla(
+        rep, x.reshape(B * G, Ho, Wo), y.reshape(B * G, Ho, Wo), padding_mode)
+    return out.reshape(B, G, Ho, Wo, C).transpose(0, 2, 3, 1, 4).reshape(
+        B, Ho, Wo, G * C)
+
+
 def bilinear_gather_xla(
     img: jnp.ndarray,
     x: jnp.ndarray,

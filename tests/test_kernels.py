@@ -383,3 +383,75 @@ class TestBilinearPallasBackwardNoRecursion:
             lambda im: jnp.sum(bilinear_gather_xla(im, x, y) ** 2)
         )(img)
         np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-5)
+
+
+class TestBilinearPallasMultiview:
+    """Shared-source kernel (TrajGRU warp layout): one source sampled at G
+    coordinate sets -> (B, Ho, Wo, G*C). Must equal G batch-folded gathers."""
+
+    def _case(self, rng, B=2, H=9, W=7, C=6, G=4, Ho=8, Wo=5, spread=1.5):
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(-spread, W - 1 + spread,
+                                    (B, G, Ho, Wo)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-spread, H - 1 + spread,
+                                    (B, G, Ho, Wo)).astype(np.float32))
+        return img, x, y
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_matches_batch_folded_xla(self, rng, zeros):
+        from kmunet_tpu.kernels.bilinear_pallas import (
+            _xla_reference_multiview, gather_bilinear_multiview)
+
+        img, x, y = self._case(rng)
+        got = gather_bilinear_multiview(img, x, y, zeros=zeros, interpret=True)
+        want = _xla_reference_multiview(img, x, y, zeros=zeros)
+        assert got.shape == (2, 8, 5, 4 * 6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_dispatch_fallback_matches(self, rng):
+        from kmunet_tpu.ops import sample
+
+        img, x, y = self._case(rng)
+        old = sample.USE_PALLAS_GATHER
+        try:
+            sample.USE_PALLAS_GATHER = False
+            want = sample.bilinear_gather_multiview(img, x, y, padding_mode="zeros")
+        finally:
+            sample.USE_PALLAS_GATHER = old
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_multiview
+
+        got = gather_bilinear_multiview(img, x, y, zeros=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_grads_match_xla(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import (
+            _xla_reference_multiview, gather_bilinear_multiview)
+
+        img, x, y = self._case(rng, B=1, H=6, W=5, C=4, G=3, Ho=4, Wo=4)
+        g1 = jax.grad(lambda i, a, b: jnp.sum(
+            gather_bilinear_multiview(i, a, b, zeros=True, interpret=True) ** 2),
+            argnums=(0, 1, 2))(img, x, y)
+        g2 = jax.grad(lambda i, a, b: jnp.sum(
+            _xla_reference_multiview(i, a, b, zeros=True) ** 2),
+            argnums=(0, 1, 2))(img, x, y)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_trajgru_warp_layout(self, rng):
+        """View l must land in channel block l (the reference's (L, C) concat
+        order, TrajGru.py:57-58): sampling at integer coords == h shifted."""
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_multiview
+
+        B, H, W, C, G = 1, 5, 5, 3, 2
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        # view 0: identity; view 1: shift by +1 in x
+        ii, jj = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
+        x = jnp.stack([jj, jj + 1.0])[None]  # (1, 2, H, W)
+        y = jnp.stack([ii, ii])[None]
+        out = gather_bilinear_multiview(img, x, y, zeros=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[..., :C]), np.asarray(img),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, :, :-1, C:]),
+                                   np.asarray(img[:, :, 1:]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, :, -1, C:]), 0.0, atol=1e-6)
