@@ -33,6 +33,11 @@ class DataConfig:
     value_scale: float = 90.0
     thresholds: Sequence[float] = (20, 30, 35, 40)
     synthetic_length: int = 64
+    device_cache: bool = False        # keep the whole train/val corpus in HBM and
+                                      # run each epoch as ONE jitted lax.scan —
+                                      # removes per-step host dispatch (critical
+                                      # over a high-latency device tunnel); only
+                                      # for corpora that fit (e.g. synthetic)
     lpips_weights: Optional[str] = None  # .npz from metrics/lpips.py converters;
                                          # without it LPIPS reports "needs weights"
                                          # (reference downloads AlexNet, metrics.py:37-39)

@@ -142,12 +142,13 @@ def _to_btHW(out, layout: str):
     return out
 
 
-def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
+def _make_train_body(model, loss_fn, tx, cfg: ExperimentConfig):
+    """The pure (un-jitted) train step: shared by the per-step jit
+    (make_train_step) and the device-cached epoch scan (make_epoch_runner)."""
     in_f, out_f = cfg.data.in_frames, cfg.data.out_frames
     layout = _model_layout(cfg)
     cdtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         inp, tgt = _split_batch(batch, in_f, out_f, layout)
 
@@ -195,6 +196,81 @@ def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     return train_step
+
+
+def make_train_step(model, loss_fn, tx, cfg: ExperimentConfig):
+    body = _make_train_body(model, loss_fn, tx, cfg)
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_epoch_runner(model, loss_fn, tx, cfg: ExperimentConfig,
+                      n_batches: int, batch_sh=None):
+    """ONE jitted call = one full training epoch over a device-resident
+    corpus ``data`` of shape (N, seq, H, W).
+
+    Motivation: each ``train_step`` dispatch costs a host->device round trip
+    (the remote-TPU tunnel adds ~25 ms latency *per dispatch*, and batch
+    bytes ride the same link every step). With the corpus in HBM the epoch
+    is a ``lax.scan`` over on-device-shuffled batch indices: one dispatch,
+    zero per-step transfers. Shuffling uses jax PRNG folds instead of the
+    host loader's numpy permutation — same distribution, different stream
+    (documented semantic delta vs the loader path).
+    """
+    body = _make_train_body(model, loss_fn, tx, cfg)
+    B = cfg.data.batch_size
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_epoch(state: TrainState, data, rng):
+        # init_state stores batch_stats as a FrozenDict; the train body emits
+        # the plain-dict form flax.apply(mutable=...) returns. A scan carry
+        # must be structure-identical in and out — normalize up front.
+        if isinstance(state.batch_stats, FrozenDict):
+            from flax.core import unfreeze
+
+            state = state.replace(batch_stats=unfreeze(state.batch_stats))
+        perm = jax.random.permutation(jax.random.fold_in(rng, 0), data.shape[0])
+        idx = perm[: n_batches * B].reshape(n_batches, B)
+
+        def scan_body(carry, ib):
+            state, rng = carry
+            batch = jnp.take(data, ib, axis=0)
+            if batch_sh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, batch_sh)
+            rng, step_rng = jax.random.split(rng)
+            state, m = body(state, batch, step_rng)
+            return (state, rng), m["loss"]
+
+        (state, _), losses = jax.lax.scan(scan_body, (state, rng), idx)
+        return state, jnp.mean(losses)
+
+    return run_epoch
+
+
+def make_val_epoch(model, loss_fn, cfg: ExperimentConfig, n_batches: int,
+                   batch_sh=None):
+    """One jitted call = mean val loss over a device-resident corpus."""
+    in_f, out_f = cfg.data.in_frames, cfg.data.out_frames
+    layout = _model_layout(cfg)
+    B = cfg.data.batch_size
+
+    @jax.jit
+    def run_val(state: TrainState, data):
+        idx = jnp.arange(n_batches * B).reshape(n_batches, B)
+
+        def scan_body(_, ib):
+            batch = jnp.take(data, ib, axis=0)
+            if batch_sh is not None:
+                batch = jax.lax.with_sharding_constraint(batch, batch_sh)
+            inp, tgt = _split_batch(batch, in_f, out_f, layout)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            out = model.apply(variables, inp, train=False)
+            pred = _to_btHW(out.astype(jnp.float32), layout)
+            return None, loss_fn(pred, tgt)
+
+        _, losses = jax.lax.scan(scan_body, None, idx)
+        return jnp.mean(losses)
+
+    return run_val
 
 
 def make_eval_step(model, loss_fn, cfg: ExperimentConfig):
@@ -285,6 +361,26 @@ def train_and_evaluate(
     train_step = make_train_step(model, loss_fn, tx, cfg)
     eval_step = make_eval_step(model, loss_fn, cfg)
 
+    # Device-cached epochs: corpus in HBM, one dispatch per epoch (see
+    # make_epoch_runner). Falls back to the loader path under multi-process
+    # JAX (the cache is a single global array) or when max_steps slices
+    # epochs.
+    use_device_cache = (
+        cfg.data.device_cache and max_steps is None and jax.process_count() == 1
+    )
+    if use_device_cache:
+        rep = replicated(mesh)
+        train_data = jax.device_put(
+            np.stack([train_ds[i] for i in range(len(train_ds))]), rep)
+        val_data = jax.device_put(
+            np.stack([val_ds[i] for i in range(len(val_ds))]), rep)
+        n_tr_batches = len(train_ds) // cfg.data.batch_size
+        n_va_batches = max(len(val_ds) // cfg.data.batch_size, 1)
+        run_epoch = make_epoch_runner(
+            model, loss_fn, tx, cfg, n_tr_batches, batch_sh=data_sh)
+        run_val = make_val_epoch(
+            model, loss_fn, cfg, n_va_batches, batch_sh=data_sh)
+
     ckpt = None
     if cfg.train.ckpt_dir:
         from kmunet_tpu.train.checkpoint import CheckpointManager
@@ -305,25 +401,34 @@ def train_and_evaluate(
     history = {"train_loss": [], "val_loss": []}
 
     for epoch in range(cfg.train.epochs):
-        # ---- train ----
-        # Losses stay on device until epoch end: a per-step float() readback
-        # costs a ~25 ms host RTT *and* serializes the dispatch pipeline.
-        ep_losses = []
-        for batch in train_loader:
-            rng, step_rng = jax.random.split(rng)
-            state, m = train_step(state, batch, step_rng)
-            ep_losses.append(m["loss"])
-            global_step += 1
-            if max_steps and global_step >= max_steps:
-                break
-        train_loss = float(jnp.mean(jnp.stack(ep_losses))) if ep_losses else 0.0
+        if use_device_cache:
+            # ---- train + validate: one dispatch each ----
+            rng, ep_rng = jax.random.split(rng)
+            state, tr_loss = run_epoch(state, train_data, ep_rng)
+            val_loss = float(run_val(state, val_data))
+            train_loss = float(tr_loss)
+            global_step += n_tr_batches
+        else:
+            # ---- train ----
+            # Losses stay on device until epoch end: a per-step float()
+            # readback costs a ~25 ms host RTT *and* serializes the dispatch
+            # pipeline.
+            ep_losses = []
+            for batch in train_loader:
+                rng, step_rng = jax.random.split(rng)
+                state, m = train_step(state, batch, step_rng)
+                ep_losses.append(m["loss"])
+                global_step += 1
+                if max_steps and global_step >= max_steps:
+                    break
+            train_loss = float(jnp.mean(jnp.stack(ep_losses))) if ep_losses else 0.0
 
-        # ---- validate ----
-        v_losses = []
-        for batch in val_loader:
-            l, _, _ = eval_step(state, batch)
-            v_losses.append(l)
-        val_loss = float(jnp.mean(jnp.stack(v_losses))) if v_losses else 0.0
+            # ---- validate ----
+            v_losses = []
+            for batch in val_loader:
+                l, _, _ = eval_step(state, batch)
+                v_losses.append(l)
+            val_loss = float(jnp.mean(jnp.stack(v_losses))) if v_losses else 0.0
 
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)

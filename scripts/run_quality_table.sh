@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 COMMON="--data.img_size=128 --data.batch_size=32 --data.synthetic_length=512
   --train.epochs=80 --train.cosine_t_max=80 --train.compute_dtype=bfloat16
-  --train.vis_batches=1"
+  --train.vis_batches=1 --data.device_cache=true"
 
 for MODEL in smaat_unet convlstm; do
   echo "=== $MODEL ==="

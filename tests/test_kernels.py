@@ -210,17 +210,26 @@ class TestBilinearPallasZeros:
             _, y_xla = cell.apply(v, h, x)
             sample.USE_PALLAS_GATHER = True  # forces dispatch; interpret off-TPU
             import kmunet_tpu.kernels.bilinear_pallas as bp
+            # The cell warps via the multiview kernel (models/ef.py); patch
+            # BOTH kernel entry points into interpret mode so whichever the
+            # dispatch picks runs on this CPU harness.
             orig = bp._gather_bilinear
+            orig_mv = bp._gather_bilinear_multiview
 
             def interp(img, xx, yy, interpret, zeros):
                 return orig(img, xx, yy, True, zeros)
 
+            def interp_mv(img, xx, yy, interpret, zeros):
+                return orig_mv(img, xx, yy, True, zeros)
+
             try:
                 bp._gather_bilinear = interp
+                bp._gather_bilinear_multiview = interp_mv
                 # route the module-level wrappers through interpret mode
                 _, y_kern = cell.apply(v, h, x)
             finally:
                 bp._gather_bilinear = orig
+                bp._gather_bilinear_multiview = orig_mv
         finally:
             sample.USE_PALLAS_GATHER = old
         np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_xla),

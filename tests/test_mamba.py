@@ -66,9 +66,11 @@ def test_dmfm_and_mamba_unet_forward(rng):
     v = dm.init(jax.random.PRNGKey(0), x)
     assert dm.apply(v, x).shape == (1, 8, 8, 32)
 
+    # 32^2 keeps every stage >= 2x2 through the 4 maxpools while making the
+    # deep DMFM scans (L = H*W) 4x shorter — the CPU harness's hot spot.
     model = Mamba_UNet(predicted_frames=3)
-    xin = jnp.asarray(rng.random((1, 64, 64, 5)).astype(np.float32))
+    xin = jnp.asarray(rng.random((1, 32, 32, 5)).astype(np.float32))
     v = model.init(jax.random.PRNGKey(0), xin)
     y = model.apply(v, xin)
-    assert y.shape == (1, 64, 64, 3)
+    assert y.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(y)).all()
