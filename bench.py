@@ -197,7 +197,28 @@ def main():
             "fp32_matmul_roof_tflops": round(matmul_roof(jnp.float32), 1),
         }))
         return
-    fps = measure()
+    # Defense in depth for the driver's end-of-round run: round-3 kernels
+    # (grouped/multiview bilinear Pallas, fused ViM chain) are CPU-parity-
+    # tested but may first touch real TPU hardware HERE. A kernel failure
+    # must degrade to a slower-but-valid measurement, never to no number.
+    fallback = None
+    try:
+        fps = measure()
+    except Exception as e:  # noqa: BLE001 - any compile/runtime kernel error
+        import kmunet_tpu.ops.sample as _sample
+
+        _sample.USE_PALLAS_GATHER = False  # ride the XLA gather formulation
+        try:
+            fps = measure()
+            fallback = f"xla_gather ({type(e).__name__})"
+        except Exception as e2:  # noqa: BLE001
+            import kmunet_tpu.models.km_unet as _km
+
+            _orig = _km.EnhancedViMBlock
+            _km.EnhancedViMBlock = lambda *a, **k: _orig(
+                *a, **{**k, "impl": "separate"})
+            fps = measure()
+            fallback = f"xla_gather+separate_vim ({type(e2).__name__})"
     baseline = None
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
@@ -212,6 +233,8 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3) if baseline else 1.0,
     }
+    if fallback:
+        record["fallback"] = fallback
     with open(HISTORY, "a") as f:
         f.write(json.dumps({**record, "honest": True, "ts": time.time()}) + "\n")
     print(json.dumps(record))
