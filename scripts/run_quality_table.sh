@@ -22,7 +22,10 @@ COMMON="--data.img_size=128 --data.batch_size=32 --data.synthetic_length=512
   --train.epochs=80 --train.cosine_t_max=80 --train.compute_dtype=bfloat16
   --train.vis_batches=1 --data.device_cache=true"
 
-for MODEL in smaat_unet convlstm; do
+# km_unet is re-run under the same device-cached epoch runner so all rows
+# share the exact same shuffle stream (the round-2 BASELINE.md run used the
+# host-loader RNG; relative comparison wants one stream).
+for MODEL in km_unet_v3 smaat_unet convlstm; do
   echo "=== $MODEL ==="
   python scripts/train_shanghai.py --model.name=$MODEL $COMMON \
     --train.ckpt_dir=outputs/quality_table/$MODEL/ckpt \
