@@ -182,60 +182,95 @@ def supported(img_shape, dtype, interpret: bool = False) -> bool:
     return True
 
 
-@functools.lru_cache(maxsize=None)
-def _partitioned_forward(interpret: bool, zeros: bool):
-    """GSPMD/shardy-partitionable wrapper around the Pallas forward.
+def _norm_spec(spec, n):
+    s = tuple(spec) if spec is not None else ()
+    return (s + (None,) * n)[:n]
+
+
+def _make_partitioned(impl, coords_rank: int, sharding_rule: str,
+                      need_replication: tuple):
+    """GSPMD/shardy-partitionable wrapper around a Pallas gather forward.
 
     Without this, the Pallas custom-call blocks GSPMD propagation and the
     engine had to force the XLA path whenever H was sharded over the
-    'spatial' mesh axis (VERDICT r1 weak #3). Partitioning contract:
+    'spatial' mesh axis (VERDICT r1 weak #3). Partitioning contract
+    (``sharding_rule`` spells the per-variant form):
 
-        img (b, h, w, c), x (b, i, j), y (b, i, j) -> out (b, i, j, c)
+        img (b, h, w, c), coords (b[, g], i, j) -> out (b, i, j, c|k)
 
-    b / i / j / c shard freely (each shard gathers its own output rows —
-    its local x/y blocks carry *global* source coordinates, which is what
-    the kernel consumes); the *source* dims h/w are need-replication, so
-    the partitioner all-gathers the sampled image over 'spatial' instead of
+    b / i / j shard freely (each shard gathers its own output rows — its
+    local x/y blocks carry *global* source coordinates, which is what the
+    kernel consumes); the *source* dims h/w are need-replication, so the
+    partitioner all-gathers the sampled image over 'spatial' instead of
     disabling the kernel. The source image is 4-16x smaller than the output
-    in the DySample/upsample uses, so the gather rides ICI cheaply.
-    """
-
-    def impl(img, x, y):
-        return _forward(img, x, y, interpret, zeros)
-
+    in the DySample/upsample uses, so the gather rides ICI cheaply. The
+    plain variant (coords_rank=3) additionally shards channels; the
+    grouped/multiview variants replicate c (channel shards would have to
+    align with group boundaries AND slice the g axis — none of our mesh
+    layouts shard activations over channels)."""
     op = custom_partitioning(impl)
-
-    def _norm(spec, n):
-        s = tuple(spec) if spec is not None else ()
-        return (s + (None,) * n)[:n]
+    shard_c = coords_rank == 3
 
     def partition(mesh, arg_shapes, result_shape):
-        b, i, j, c = _norm(result_shape.sharding.spec, 4)
+        b, i, j, c = _norm_spec(result_shape.sharding.spec, 4)
+        if not shard_c:
+            c = None
+        coord_spec = P(b, i, j) if coords_rank == 3 else P(b, None, i, j)
         result_sharding = NamedSharding(mesh, P(b, i, j, c))
         arg_shardings = (
             NamedSharding(mesh, P(b, None, None, c)),
-            NamedSharding(mesh, P(b, i, j)),
-            NamedSharding(mesh, P(b, i, j)),
+            NamedSharding(mesh, coord_spec),
+            NamedSharding(mesh, coord_spec),
         )
         return mesh, impl, result_sharding, arg_shardings
 
     def infer_sharding(mesh, arg_shapes, result_shape):
-        b, _, _, c = _norm(arg_shapes[0].sharding.spec, 4)
-        _, i, j = _norm(arg_shapes[1].sharding.spec, 3)
-        return NamedSharding(mesh, P(b, i, j, c))
+        b, _, _, c = _norm_spec(arg_shapes[0].sharding.spec, 4)
+        i, j = _norm_spec(arg_shapes[1].sharding.spec, coords_rank)[-2:]
+        return NamedSharding(mesh, P(b, i, j, c if shard_c else None))
 
     op.def_partition(
         partition,
         infer_sharding_from_operands=infer_sharding,
-        sharding_rule="b h w c, b i j, b i j -> b i j c",
-        need_replication_factors=("h", "w"),
+        sharding_rule=sharding_rule,
+        need_replication_factors=need_replication,
     )
     return op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gather_bilinear(img, x, y, interpret, zeros):
-    return _partitioned_forward(bool(interpret), bool(zeros))(img, x, y)
+def _make_gather_op(partitioned_getter, xla_reference):
+    """custom_vjp wrapper shared by the plain/grouped/multiview variants:
+    forward through the partitioned Pallas op, backward through the
+    matching non-dispatching XLA formulation (scatter-add grads)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+    def op(img, x, y, interpret, zeros):
+        return partitioned_getter(bool(interpret), bool(zeros))(img, x, y)
+
+    def fwd(img, x, y, interpret, zeros):
+        return (partitioned_getter(bool(interpret), bool(zeros))(img, x, y),
+                (img, x, y))
+
+    def bwd(interpret, zeros, res, g):
+        img, x, y = res
+        mode = "zeros" if zeros else "border"
+        _, vjp = jax.vjp(
+            lambda i, xx, yy: xla_reference(i, xx, yy, padding_mode=mode),
+            img, x, y)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(interpret: bool, zeros: bool):
+    return _make_partitioned(
+        lambda img, x, y: _forward(img, x, y, interpret, zeros),
+        coords_rank=3,
+        sharding_rule="b h w c, b i j, b i j -> b i j c",
+        need_replication=("h", "w"),
+    )
 
 
 def gather_bilinear_border(img, x, y, interpret=False):
@@ -271,15 +306,14 @@ def gather_bilinear_zeros(img, x, y, interpret=False):
     return _gather_bilinear(img, x, y, bool(interpret), True)
 
 
-def _xla_reference(img, x, y, zeros=False):
+def _xla_reference(img, x, y, padding_mode="border"):
     # MUST be the non-dispatching implementation: going through
     # ops.sample.bilinear_gather would re-enter this kernel's custom VJP
     # from its own backward and recurse unboundedly (see
     # ops/sample.py::bilinear_gather_xla docstring).
     from kmunet_tpu.ops.sample import bilinear_gather_xla
 
-    return bilinear_gather_xla(img, x, y,
-                               padding_mode="zeros" if zeros else "border")
+    return bilinear_gather_xla(img, x, y, padding_mode=padding_mode)
 
 
 def _forward(img, x, y, interpret, zeros=False):
@@ -356,17 +390,7 @@ def _forward(img, x, y, interpret, zeros=False):
     return out[:, :T].reshape(B, Ho, Wo, C)
 
 
-def _fwd(img, x, y, interpret, zeros):
-    return _partitioned_forward(bool(interpret), bool(zeros))(img, x, y), (img, x, y)
-
-
-def _bwd(interpret, zeros, res, g):
-    img, x, y = res
-    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference(i, xx, yy, zeros), img, x, y)
-    return vjp(g)
-
-
-_gather_bilinear.defvjp(_fwd, _bwd)
+_gather_bilinear = _make_gather_op(_partitioned_forward, _xla_reference)
 
 
 # --------------------------------------------------------------------------
@@ -384,16 +408,13 @@ def supported_grouped(img_shape, groups, dtype, interpret=False) -> bool:
     return supported(img_shape, dtype, interpret)
 
 
-def _xla_reference_grouped(img, x, y, zeros=False):
-    from kmunet_tpu.ops.sample import bilinear_gather_xla
+def _xla_reference_grouped(img, x, y, padding_mode="border"):
+    # The SAME body as the runtime fallback in ops/sample.py — the kernel's
+    # custom VJP differentiates what the fallback executes, so the two can
+    # never drift.
+    from kmunet_tpu.ops.sample import bilinear_gather_grouped_xla
 
-    G = x.shape[1]
-    Cg = img.shape[-1] // G
-    mode = "zeros" if zeros else "border"
-    return jnp.concatenate(
-        [bilinear_gather_xla(img[..., g * Cg:(g + 1) * Cg], x[:, g], y[:, g],
-                             padding_mode=mode)
-         for g in range(G)], axis=-1)
+    return bilinear_gather_grouped_xla(img, x, y, padding_mode=padding_mode)
 
 
 def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
@@ -462,65 +483,16 @@ def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_forward_grouped(interpret: bool, zeros: bool):
-    """Partitioning contract (mirrors _partitioned_forward):
-
-        img (b, h, w, c), x (b, g, i, j), y (b, g, i, j) -> out (b, i, j, c)
-
-    b / i / j shard freely; h / w / g / c are need-replication (c-shards
-    would have to align with group boundaries AND slice the g axis — none
-    of our mesh layouts shard activations over channels)."""
-
-    def impl(img, x, y):
-        return _forward_grouped(img, x, y, interpret, zeros)
-
-    op = custom_partitioning(impl)
-
-    def _norm(spec, n):
-        s = tuple(spec) if spec is not None else ()
-        return (s + (None,) * n)[:n]
-
-    def partition(mesh, arg_shapes, result_shape):
-        b, i, j, _ = _norm(result_shape.sharding.spec, 4)
-        result_sharding = NamedSharding(mesh, P(b, i, j, None))
-        arg_shardings = (
-            NamedSharding(mesh, P(b, None, None, None)),
-            NamedSharding(mesh, P(b, None, i, j)),
-            NamedSharding(mesh, P(b, None, i, j)),
-        )
-        return mesh, impl, result_sharding, arg_shardings
-
-    def infer_sharding(mesh, arg_shapes, result_shape):
-        b, _, _, _ = _norm(arg_shapes[0].sharding.spec, 4)
-        _, _, i, j = _norm(arg_shapes[1].sharding.spec, 4)
-        return NamedSharding(mesh, P(b, i, j, None))
-
-    op.def_partition(
-        partition,
-        infer_sharding_from_operands=infer_sharding,
+    return _make_partitioned(
+        lambda img, x, y: _forward_grouped(img, x, y, interpret, zeros),
+        coords_rank=4,
         sharding_rule="b h w c, b g i j, b g i j -> b i j c",
-        need_replication_factors=("h", "w", "g", "c"),
+        need_replication=("h", "w", "g", "c"),
     )
-    return op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gather_bilinear_grouped(img, x, y, interpret, zeros):
-    return _partitioned_forward_grouped(bool(interpret), bool(zeros))(img, x, y)
-
-
-def _fwd_grouped(img, x, y, interpret, zeros):
-    return (_partitioned_forward_grouped(bool(interpret), bool(zeros))(img, x, y),
-            (img, x, y))
-
-
-def _bwd_grouped(interpret, zeros, res, g):
-    img, x, y = res
-    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference_grouped(i, xx, yy, zeros),
-                     img, x, y)
-    return vjp(g)
-
-
-_gather_bilinear_grouped.defvjp(_fwd_grouped, _bwd_grouped)
+_gather_bilinear_grouped = _make_gather_op(
+    _partitioned_forward_grouped, _xla_reference_grouped)
 
 
 def gather_bilinear_grouped(img, x, y, zeros=False, interpret=False):
@@ -550,79 +522,28 @@ def supported_multiview(img_shape, views, dtype, interpret=False) -> bool:
     return supported(img_shape, dtype, interpret)
 
 
-def _xla_reference_multiview(img, x, y, zeros=False):
-    from kmunet_tpu.ops.sample import bilinear_gather_xla
+def _xla_reference_multiview(img, x, y, padding_mode="border"):
+    # Same body as the runtime fallback in ops/sample.py (see
+    # _xla_reference_grouped note).
+    from kmunet_tpu.ops.sample import bilinear_gather_multiview_xla
 
-    B, H, W, C = img.shape
-    G, Ho, Wo = x.shape[1:]
-    mode = "zeros" if zeros else "border"
-    rep = jnp.broadcast_to(img[:, None], (B, G, H, W, C)).reshape(B * G, H, W, C)
-    out = bilinear_gather_xla(rep, x.reshape(B * G, Ho, Wo),
-                              y.reshape(B * G, Ho, Wo), padding_mode=mode)
-    return out.reshape(B, G, Ho, Wo, C).transpose(0, 2, 3, 1, 4).reshape(
-        B, Ho, Wo, G * C)
+    return bilinear_gather_multiview_xla(img, x, y, padding_mode=padding_mode)
 
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_forward_multiview(interpret: bool, zeros: bool):
-    """Partitioning contract:
-
-        img (b, h, w, c), x (b, g, i, j), y (b, g, i, j) -> out (b, i, j, k)
-
-    b / i / j shard freely; h / w / g / c (and the fused output channel k =
-    g*c) are need-replication."""
-
-    def impl(img, x, y):
-        return _forward_grouped(img, x, y, interpret, zeros, shared=True)
-
-    op = custom_partitioning(impl)
-
-    def _norm(spec, n):
-        s = tuple(spec) if spec is not None else ()
-        return (s + (None,) * n)[:n]
-
-    def partition(mesh, arg_shapes, result_shape):
-        b, i, j, _ = _norm(result_shape.sharding.spec, 4)
-        result_sharding = NamedSharding(mesh, P(b, i, j, None))
-        arg_shardings = (
-            NamedSharding(mesh, P(b, None, None, None)),
-            NamedSharding(mesh, P(b, None, i, j)),
-            NamedSharding(mesh, P(b, None, i, j)),
-        )
-        return mesh, impl, result_sharding, arg_shardings
-
-    def infer_sharding(mesh, arg_shapes, result_shape):
-        b, _, _, _ = _norm(arg_shapes[0].sharding.spec, 4)
-        _, _, i, j = _norm(arg_shapes[1].sharding.spec, 4)
-        return NamedSharding(mesh, P(b, i, j, None))
-
-    op.def_partition(
-        partition,
-        infer_sharding_from_operands=infer_sharding,
+    # Output channel k = g*c is fused across views, hence need-replication.
+    return _make_partitioned(
+        lambda img, x, y: _forward_grouped(img, x, y, interpret, zeros,
+                                           shared=True),
+        coords_rank=4,
         sharding_rule="b h w c, b g i j, b g i j -> b i j k",
-        need_replication_factors=("h", "w", "g", "c", "k"),
+        need_replication=("h", "w", "g", "c", "k"),
     )
-    return op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gather_bilinear_multiview(img, x, y, interpret, zeros):
-    return _partitioned_forward_multiview(bool(interpret), bool(zeros))(img, x, y)
-
-
-def _fwd_multiview(img, x, y, interpret, zeros):
-    return (_partitioned_forward_multiview(bool(interpret), bool(zeros))(img, x, y),
-            (img, x, y))
-
-
-def _bwd_multiview(interpret, zeros, res, g):
-    img, x, y = res
-    _, vjp = jax.vjp(lambda i, xx, yy: _xla_reference_multiview(i, xx, yy, zeros),
-                     img, x, y)
-    return vjp(g)
-
-
-_gather_bilinear_multiview.defvjp(_fwd_multiview, _bwd_multiview)
+_gather_bilinear_multiview = _make_gather_op(
+    _partitioned_forward_multiview, _xla_reference_multiview)
 
 
 def gather_bilinear_multiview(img, x, y, zeros=False, interpret=False):

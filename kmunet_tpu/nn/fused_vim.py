@@ -151,8 +151,10 @@ class FusedDirectionViM(nn.Module):
         a = jax.nn.sigmoid(alpha).astype(dt_)  # (G, 4, C)
         a_of = lambda i: a[:, i, :].reshape(-1)  # noqa: E731  fused-channel order
 
+        # bn_weight_init=0 as in the separate path (nn/ssd.py dwconv1/2 via
+        # ConvBNAct): the residual stages start as identity at init.
         dw1 = self.param("dw1_kernel", _stacked_kaiming(), (G, 3, 3, 1, C))
-        u = (1 - a_of(0)) * u + a_of(0) * bn("bn1", bconv(u, dw1, groups_dw=True))
+        u = (1 - a_of(0)) * u + a_of(0) * bn("bn1", bconv(u, dw1, groups_dw=True), scale_init=0.0)
 
         u_prev = u
         # per-branch ChannelLayerNorm: stats over each branch's C channels
@@ -192,7 +194,7 @@ class FusedDirectionViM(nn.Module):
         u = (1 - a_of(1)) * u_prev + a_of(1) * y
 
         dw2 = self.param("dw2_kernel", _stacked_kaiming(), (G, 3, 3, 1, C))
-        u = (1 - a_of(2)) * u + a_of(2) * bn("bn2", bconv(u, dw2, groups_dw=True))
+        u = (1 - a_of(2)) * u + a_of(2) * bn("bn2", bconv(u, dw2, groups_dw=True), scale_init=0.0)
 
         # FFN x3: expand (BN+ReLU) -> project (BN scale 0)
         f1 = self.param("ffn1_kernel", _stacked_kaiming(), (G, 1, 1, C, 4 * C))

@@ -78,7 +78,15 @@ def bilinear_gather_grouped(
             return bilinear_pallas.gather_bilinear_grouped(
                 img, x, y, zeros=(padding_mode == "zeros"))
 
+    return bilinear_gather_grouped_xla(img, x, y, padding_mode)
+
+
+def bilinear_gather_grouped_xla(img, x, y, padding_mode="border"):
+    """Non-dispatching grouped gather (batch-folded). Shared by the runtime
+    fallback above AND the Pallas kernel's custom VJP — one body, so the
+    forward-fallback semantics can never drift from the kernel's backward."""
     B, H, W, C = img.shape
+    G = x.shape[1]
     Cg = C // G
     Ho, Wo = x.shape[2:]
     xg = img.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
@@ -112,8 +120,14 @@ def bilinear_gather_multiview(
             return bilinear_pallas.gather_bilinear_multiview(
                 img, x, y, zeros=(padding_mode == "zeros"))
 
+    return bilinear_gather_multiview_xla(img, x, y, padding_mode)
+
+
+def bilinear_gather_multiview_xla(img, x, y, padding_mode="border"):
+    """Non-dispatching multiview gather (source broadcast into the batch).
+    Shared by the runtime fallback above AND the Pallas kernel's custom VJP."""
     B, H, W, C = img.shape
-    Ho, Wo = x.shape[2:]
+    G, Ho, Wo = x.shape[1:]
     rep = jnp.broadcast_to(img[:, None], (B, G, H, W, C)).reshape(B * G, H, W, C)
     out = bilinear_gather_xla(
         rep, x.reshape(B * G, Ho, Wo), y.reshape(B * G, Ho, Wo), padding_mode)

@@ -374,8 +374,12 @@ def train_and_evaluate(
             np.stack([train_ds[i] for i in range(len(train_ds))]), rep)
         val_data = jax.device_put(
             np.stack([val_ds[i] for i in range(len(val_ds))]), rep)
+        # the loader-emptiness check above guarantees every split holds at
+        # least one full batch, so no clamping: a clamp of 0 -> 1 would make
+        # make_val_epoch index past the corpus (jnp.take clamps indices
+        # inside jit, silently evaluating the last sample B times).
         n_tr_batches = len(train_ds) // cfg.data.batch_size
-        n_va_batches = max(len(val_ds) // cfg.data.batch_size, 1)
+        n_va_batches = len(val_ds) // cfg.data.batch_size
         run_epoch = make_epoch_runner(
             model, loss_fn, tx, cfg, n_tr_batches, batch_sh=data_sh)
         run_val = make_val_epoch(
@@ -461,6 +465,8 @@ def train_and_evaluate(
         lpips_fn=make_lpips_fn(cfg.data.lpips_weights),
     )
     out_dir = cfg.train.out_dir
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     vis_dir = os.path.join(out_dir, "vis") if out_dir else None
     scatter_gts: list = []
     scatter_preds: list = []
@@ -504,6 +510,8 @@ def train_and_evaluate(
     results["steps"] = global_step
 
     if log_csv and csv_rows:
+        if os.path.dirname(log_csv):
+            os.makedirs(os.path.dirname(log_csv), exist_ok=True)
         with open(log_csv, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(csv_rows[0]))
             w.writeheader()

@@ -78,3 +78,17 @@ def test_fused_train_mode_updates_batch_stats(rng):
 
 def test_default_impl_is_fused():
     assert EnhancedViMBlock(state_dim=16).impl == "fused"
+
+
+def test_fused_init_distribution_matches_separate():
+    """Fresh fused init must carry the separate path's init conventions —
+    in particular the zero-initialized BN scales on the dwconv residual
+    stages (bn_weight_init=0, nn/ssd.py dwconv1/2) and on the FFN's second
+    BN, so from-scratch training dynamics match the reference."""
+    x = jnp.zeros((1, 8, 8, 16))
+    blk = EnhancedViMBlock(state_dim=16, impl="fused")
+    v = blk.init(jax.random.PRNGKey(0), x)
+    d = v["params"]["directions"]
+    for name, want in [("bn1", 0.0), ("bn2", 0.0), ("ffn_bn2", 0.0), ("ffn_bn1", 1.0)]:
+        got = np.asarray(d[name]["scale"])
+        np.testing.assert_array_equal(got, np.full_like(got, want), err_msg=name)

@@ -255,7 +255,7 @@ class TestBilinearPallasGrouped:
 
         img, x, y = self._case(rng)
         got = gather_bilinear_grouped(img, x, y, zeros=zeros, interpret=True)
-        want = _xla_reference_grouped(img, x, y, zeros=zeros)
+        want = _xla_reference_grouped(img, x, y, padding_mode="zeros" if zeros else "border")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
     def test_dispatch_fallback_matches(self, rng):
@@ -413,7 +413,7 @@ class TestBilinearPallasMultiview:
 
         img, x, y = self._case(rng)
         got = gather_bilinear_multiview(img, x, y, zeros=zeros, interpret=True)
-        want = _xla_reference_multiview(img, x, y, zeros=zeros)
+        want = _xla_reference_multiview(img, x, y, padding_mode="zeros" if zeros else "border")
         assert got.shape == (2, 8, 5, 4 * 6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
@@ -441,7 +441,7 @@ class TestBilinearPallasMultiview:
             gather_bilinear_multiview(i, a, b, zeros=True, interpret=True) ** 2),
             argnums=(0, 1, 2))(img, x, y)
         g2 = jax.grad(lambda i, a, b: jnp.sum(
-            _xla_reference_multiview(i, a, b, zeros=True) ** 2),
+            _xla_reference_multiview(i, a, b, padding_mode="zeros") ** 2),
             argnums=(0, 1, 2))(img, x, y)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

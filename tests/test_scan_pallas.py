@@ -35,11 +35,15 @@ class TestSelectiveScanPallas:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_multi_chunk_carry(self, rng):
-        # L=256 with the small-DN budget still picks a chunk < L, so the
-        # running carry path is exercised; compare against the monolithic
-        # XLA scan.
-        args = _inputs(rng, B=1, L=256, D=16, N=16)
+    def test_multi_chunk_carry(self, rng, monkeypatch):
+        # At test-sized L the VMEM budget always picks Q == L (single
+        # chunk), so the cross-chunk carry would never run. Force Q=16 at
+        # L=64 (4 chunks) — the same code path real shapes take (L=16384
+        # -> 32 chunks at the Mamba refine layers).
+        import kmunet_tpu.kernels.scan_pallas as sp
+
+        monkeypatch.setattr(sp, "_pick_chunk", lambda L, DN: 16)
+        args = _inputs(rng, B=2, L=64, D=8, N=4)
         got = selective_scan_pallas(*args, True)
         want = _selective_scan_xla(*args)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -78,10 +82,10 @@ class TestSelectiveScanPallas:
                                        rtol=1e-4, atol=1e-5)
 
     @pytest.mark.parametrize("L,D,N", [(64, 8, 4), (256, 16, 16)])
-    def test_vjp_all_six_grads_multichunk(self, rng, L, D, N):
+    def test_vjp_all_six_grads(self, rng, L, D, N):
         """Pallas reverse-scan backward (kernels/scan_pallas.py::_backward):
-        all six input gradients, at a multi-chunk L so the checkpoint array
-        and the cross-chunk cotangent message are exercised."""
+        all six input gradients (single-chunk shapes — the VMEM budget picks
+        Q == L here; see test_vjp_all_six_grads_multichunk for n_chunks>1)."""
         args = _inputs(rng, B=2, L=L, D=D, N=N)
         cot = jnp.asarray(
             np.random.default_rng(7).normal(size=(2, L, D)).astype(np.float32))
@@ -99,6 +103,35 @@ class TestSelectiveScanPallas:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
                 err_msg=f"grad {n} mismatch at L={L} D={D} N={N}")
+
+    @pytest.mark.parametrize("Q", [16, 32])
+    def test_vjp_all_six_grads_multichunk(self, rng, monkeypatch, Q):
+        """The REAL multi-chunk backward: force Q < L so the checkpoint
+        array (ckpt_ref[n_chunks-1-j]), the cross-chunk cotangent message
+        (m_ref boundary fold), and the phase-0/phase-1 grid ordering all
+        execute. Without the monkeypatch every test-sized L resolves to a
+        single chunk and these paths first run at L=16384 on hardware."""
+        import kmunet_tpu.kernels.scan_pallas as sp
+
+        monkeypatch.setattr(sp, "_pick_chunk_bwd", lambda L, DN: Q)
+        L, D, N = 64, 8, 4
+        args = _inputs(rng, B=2, L=L, D=D, N=N)
+        cot = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, L, D)).astype(np.float32))
+
+        def f_kernel(*a):
+            return jnp.sum(selective_scan_pallas(*a, True) * cot)
+
+        def f_xla(*a):
+            return jnp.sum(_selective_scan_xla(*a) * cot)
+
+        g1 = jax.grad(f_kernel, argnums=tuple(range(6)))(*args)
+        g2 = jax.grad(f_xla, argnums=tuple(range(6)))(*args)
+        names = ["dx", "ddt", "dA", "dB", "dC", "dD"]
+        for n, a, b in zip(names, g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad {n} mismatch at Q={Q} (n_chunks={L // Q})")
 
     def test_supported_shapes(self):
         assert supported(16384, 16, 16)
