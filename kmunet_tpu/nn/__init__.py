@@ -8,7 +8,7 @@ from kmunet_tpu.nn.layers import (
     PatchMerging,
     SqueezeExcite,
 )
-from kmunet_tpu.nn.kan import KANLinear, KANConv2d
+from kmunet_tpu.nn.kan import KANLinear, KANConv2d, kan_regularization_loss
 from kmunet_tpu.nn.ssd import HSMSSD, EfficientViMBlock
 from kmunet_tpu.nn.wavelet import IntelligentWaveletPooling
 from kmunet_tpu.nn.resample import DySample, DeformConv2d

@@ -23,8 +23,9 @@ borders.
 
 The reference's update_grid / regularization_loss exist but are never invoked
 by any training script (SURVEY.md C1); the grid is therefore a static uniform
-knot vector here. (`update_grid` support would re-fit per-feature grids; file
-an issue if a recipe ever needs it.)
+knot vector here (functional update_grid lives in ops/spline.py, and the
+regularizer is the free function ``kan_regularization_loss`` below — JAX
+losses are functions of params, not module methods).
 """
 
 from __future__ import annotations
@@ -107,6 +108,43 @@ class KANLinear(nn.Module):
         scaled = spline_w * scaler[:, None, :]
         spline = jnp.einsum("...ib,ibo->...o", basis, scaled)
         return base + spline
+
+
+def kan_regularization_loss(
+    params, regularize_activation: float = 1.0, regularize_entropy: float = 1.0
+):
+    """Spline L1 + entropy regularizer, summed over every KAN layer in ``params``.
+
+    Exactly the reference's KANLinear.regularization_loss
+    (`/root/reference/convKAN/KANlayers.py:711-731`): per layer,
+    ``l1 = |W_spline|.mean(basis axis)``, activation term = ``l1.sum()``,
+    entropy term = ``-sum(p log p)`` with ``p = l1 / l1.sum()`` — computed on
+    the RAW spline weight (the standalone scaler is not included, matching
+    the reference). Works on any param pytree: KANLinear (``spline_weight``,
+    (in, nb, out) — basis axis 1) and KANConv2d (``spline_kernel``,
+    (k, k, C, nb, out) — basis axis -2) leaves are found by key; everything
+    else is ignored. Returns 0.0 if the tree holds no KAN layers.
+    """
+    total = jnp.zeros((), jnp.float32)
+    found = False
+
+    def walk(node):
+        nonlocal total, found
+        if not isinstance(node, dict):
+            return
+        for key, leaf in node.items():
+            if key in ("spline_weight", "spline_kernel"):
+                found = True
+                l1 = jnp.abs(leaf.astype(jnp.float32)).mean(axis=-2)
+                act = l1.sum()
+                p = l1 / act
+                ent = -jnp.sum(p * jnp.log(p))
+                total = total + regularize_activation * act + regularize_entropy * ent
+            else:
+                walk(leaf)
+
+    walk(params if not hasattr(params, "unfreeze") else params.unfreeze())
+    return total if found else jnp.zeros((), jnp.float32)
 
 
 class KANConv2d(nn.Module):

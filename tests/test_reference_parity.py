@@ -108,6 +108,33 @@ def test_kanlinear_bspline_basis_parity(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_kanlinear_regularization_loss_parity(rng):
+    """kan_regularization_loss vs the reference's own method
+    (KANlayers.py:711-731) on identical spline weights."""
+    RefKANLinear = _import_ref_kanlinear()
+    from kmunet_tpu.nn.kan import kan_regularization_loss
+
+    torch.manual_seed(3)
+    ref = RefKANLinear(12, 7)
+    params = {
+        "kan": {
+            "spline_weight": jnp.asarray(t2np(ref.spline_weight).transpose(1, 2, 0)),
+            "base_weight": jnp.asarray(t2np(ref.base_weight).T),
+            "spline_scaler": jnp.asarray(t2np(ref.spline_scaler).T),
+        }
+    }
+    for ra, re in [(1.0, 1.0), (0.3, 2.5)]:
+        want = float(ref.regularization_loss(ra, re))
+        got = float(kan_regularization_loss(params, ra, re))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_kan_regularization_loss_no_kan_layers():
+    from kmunet_tpu.nn.kan import kan_regularization_loss
+
+    assert float(kan_regularization_loss({"dense": {"kernel": jnp.ones((3, 3))}})) == 0.0
+
+
 # ---------------------------------------------------------------------------
 # DySample (DySample_md.py:20-81)
 # ---------------------------------------------------------------------------
