@@ -66,6 +66,9 @@ class TrainConfig:
     epochs: int = 120
     loss: str = "hybrid"
     loss_alpha: float = 0.7
+    kan_reg_weight: float = 0.0       # spline L1+entropy regularizer weight;
+                                      # 0 = off (the reference defines it but
+                                      # never enables it, KANlayers.py:711)
     seed: int = 42
     log_every: int = 50
     ckpt_dir: Optional[str] = None

@@ -181,7 +181,12 @@ def _make_train_body(model, loss_fn, tx, cfg: ExperimentConfig):
             new_stats = jax.tree.map(
                 lambda s: s.astype(jnp.float32), mutated["batch_stats"]
             )
-            return loss_fn(pred, tgt), new_stats
+            loss = loss_fn(pred, tgt)
+            if cfg.train.kan_reg_weight:
+                from kmunet_tpu.nn.kan import kan_regularization_loss
+
+                loss = loss + cfg.train.kan_reg_weight * kan_regularization_loss(params)
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -163,7 +163,9 @@ def test_device_cache_e2e(monkeypatch):
 
 
 def test_train_step_is_jittable_and_donates():
-    cfg = _tiny_cfg()
+    # kan_reg_weight on: also exercises the opt-in spline regularizer wiring
+    # (engine loss_of) in the same compile; weight=0 is every other test.
+    cfg = _tiny_cfg(train__kan_reg_weight=1e-5)
     model = build_model(cfg)
     loss_fn = build_loss(cfg)
     tx = build_optimizer(cfg, steps_per_epoch=4)
