@@ -76,8 +76,12 @@ class ShanghaiDataset:
 
     def __getitem__(self, i: int) -> np.ndarray:
         raw = self._grp[str(int(self.indices[i]))][()]  # (25, H, W) uint8
-        frames = raw.astype(np.float32) / 255.0
-        return self._resize(frames).astype(np.float32)
+        # Native fused decode+scale+resize (kmunet_tpu/native); the numpy
+        # fallback is the same math as two dense matmuls (data/resize.py).
+        y = self._resize.resize_scaled(raw, 1.0 / 255.0)
+        if y is None:
+            y = self._resize(raw.astype(np.float32) / 255.0)
+        return y.astype(np.float32, copy=False)
 
     def close(self):
         self._file.close()
