@@ -69,9 +69,17 @@ def matmul_roof(dtype=jnp.bfloat16, n=4096, iters=20) -> float:
     return 2 * n**3 / dt / 1e12
 
 
-def measure() -> float:
+def measure(vim_impl: str | None = None) -> float:
+    import kmunet_tpu.models.km_unet as km
     from kmunet_tpu.models import KM_UNetV3_SH
 
+    if vim_impl is not None:
+        # Rebind the name km_unet.py constructs through (a dataclass class
+        # attribute write would not change the generated __init__ default).
+        orig = km.EnhancedViMBlock
+        orig = getattr(orig, "_km_orig", orig)
+        km.EnhancedViMBlock = lambda *a, **k: orig(*a, **{**k, "impl": vim_impl})
+        km.EnhancedViMBlock._km_orig = orig
     model = KM_UNetV3_SH(num_classes=OUT_FRAMES)
     x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, IMG, IMG, 5))
     # jit the init: eager init dispatches each param op over the remote-TPU
@@ -84,6 +92,31 @@ def measure() -> float:
     dt = _chain_time(lambda v, xx: model.apply(v, xx), variables, x)
     n_chips = max(jax.device_count(), 1)
     return BATCH * OUT_FRAMES / dt / n_chips
+
+
+def measure_best_impl() -> tuple[float, str]:
+    """Time both EnhancedViM execution layouts, return the faster.
+
+    'fused' (round 3: one channel-stacked grouped chain) and 'separate'
+    (round 2: three DirectionViM branches) are the same math — impl is an
+    execution-strategy flag — but 'fused' first touches real TPU hardware in
+    this very run. Measuring both keeps the headline honest either way.
+    Set KMUNET_BENCH_IMPL=fused|separate to pin one (halves compile time).
+    """
+    pin = os.environ.get("KMUNET_BENCH_IMPL")
+    if pin:
+        return measure(pin), pin
+    results, errors = {}, {}
+    for impl in ("fused", "separate"):
+        try:
+            results[impl] = measure(impl)
+        except Exception as e:  # noqa: BLE001 - kernel/compile failure of one layout
+            errors[impl] = e
+    if not results:
+        raise next(iter(errors.values()))
+    best = max(results, key=results.get)
+    tag = best if not errors else f"{best} ({','.join(errors)} failed)"
+    return results[best], tag
 
 
 def measure_train_step() -> dict:
@@ -202,23 +235,16 @@ def main():
     # tested but may first touch real TPU hardware HERE. A kernel failure
     # must degrade to a slower-but-valid measurement, never to no number.
     fallback = None
+    impl = None
     try:
-        fps = measure()
+        fps, impl = measure_best_impl()
     except Exception as e:  # noqa: BLE001 - any compile/runtime kernel error
         import kmunet_tpu.ops.sample as _sample
 
-        _sample.USE_PALLAS_GATHER = False  # ride the XLA gather formulation
-        try:
-            fps = measure()
-            fallback = f"xla_gather ({type(e).__name__})"
-        except Exception as e2:  # noqa: BLE001
-            import kmunet_tpu.models.km_unet as _km
-
-            _orig = _km.EnhancedViMBlock
-            _km.EnhancedViMBlock = lambda *a, **k: _orig(
-                *a, **{**k, "impl": "separate"})
-            fps = measure()
-            fallback = f"xla_gather+separate_vim ({type(e2).__name__})"
+        # Safest ladder: XLA gathers + the round-2-proven 'separate' layout.
+        _sample.USE_PALLAS_GATHER = False
+        fps = measure("separate")
+        fallback = f"xla_gather+separate_vim ({type(e).__name__})"
     baseline = None
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
@@ -233,6 +259,8 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3) if baseline else 1.0,
     }
+    if impl:
+        record["vim_impl"] = impl
     if fallback:
         record["fallback"] = fallback
     with open(HISTORY, "a") as f:
