@@ -58,7 +58,9 @@ def test_train_step_grads_finite(rng):
 def test_param_count_reasonable():
     model = KM_UNetV3_SH(num_classes=20)
     x = jnp.zeros((1, 64, 64, 5))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # eval_shape: param counting needs shapes only, not a real init (saves
+    # ~30 s of eager-dispatch on the 1-core CPU harness).
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     # reference flagship is a small model (embed dims 16/32/64)
     assert 2e5 < n < 5e6, n
