@@ -79,13 +79,27 @@ class DataLoader:
 
         work_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 4)
         result_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 4)
+        # Abandoned iteration (e.g. engine --max_steps breaking mid-epoch)
+        # closes this generator; the finally below sets `halt` so feeder and
+        # workers blocked on the bounded queues drain out instead of leaking.
+        halt = threading.Event()
+
+        def _put(q, item) -> bool:
+            while not halt.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
-            while True:
+            while not halt.is_set():
                 j = work_q.get()
                 if j is None:
                     return
-                result_q.put((j, self.dataset[int(idx[j])]))
+                if not _put(result_q, (j, self.dataset[int(idx[j])])):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
@@ -93,26 +107,37 @@ class DataLoader:
 
         def feeder():
             for j in range(stop):
-                work_q.put(j)
+                if not _put(work_q, j):
+                    return
             for _ in threads:
-                work_q.put(None)
+                if not _put(work_q, None):
+                    return
 
         threading.Thread(target=feeder, daemon=True).start()
 
         # Workers finish out of order; reorder via a stash keyed by index,
         # blocking on the result queue (no sleep/poll loop).
-        stash: dict[int, np.ndarray] = {}
-        out = []
-        j = 0
-        while j < stop:
-            while j not in stash:
-                k, item = result_q.get()
-                stash[k] = item
-            out.append(stash.pop(j))
-            j += 1
-            if len(out) == self.batch_size or (j == stop and out and not self.drop_last):
-                yield np.stack(out)
-                out = []
+        try:
+            stash: dict[int, np.ndarray] = {}
+            out = []
+            j = 0
+            while j < stop:
+                while j not in stash:
+                    k, item = result_q.get()
+                    stash[k] = item
+                out.append(stash.pop(j))
+                j += 1
+                if len(out) == self.batch_size or (j == stop and out and not self.drop_last):
+                    yield np.stack(out)
+                    out = []
+        finally:
+            halt.set()
+            # Unblock workers parked on work_q.get.
+            for _ in threads:
+                try:
+                    work_q.put_nowait(None)
+                except queue.Full:
+                    pass
 
     def _to_device(self, batch: np.ndarray):
         if self.sharding is None:

@@ -83,6 +83,8 @@ class Resizer:
         """Native fused scale+resize of uint8/float32 frames; None = no lib."""
         from kmunet_tpu import native
 
+        if tuple(frames.shape[-2:]) != tuple(self.in_hw):
+            return None  # let the caller's numpy path raise a clean error
         return native.banded_resize(frames, *self._banded_weights(scale))
 
 

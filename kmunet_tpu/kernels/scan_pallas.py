@@ -290,6 +290,11 @@ def _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret):
     d_row = Dp.astype(jnp.float32).reshape(1, D)
 
     fwd_idx = lambda b, p, j: (b, j * (1 - p) + (n_chunks - 1 - j) * p, 0)  # noqa: E731
+    # C and g are only read in phase 1; pinning their index to block 0 while
+    # p == 0 makes consecutive phase-0 steps revisit the same block, so
+    # Pallas skips the per-chunk re-fetch (~2/5 of input bytes) during the
+    # checkpointing sweep.
+    p1_idx = lambda b, p, j: (b, (n_chunks - 1 - j) * p, 0)  # noqa: E731
     kern = functools.partial(_bwd_kernel, Q=Q, D=D, N=N, n_chunks=n_chunks)
     dx, ddt, db, dc, da, dd = pl.pallas_call(
         kern,
@@ -298,8 +303,8 @@ def _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret):
             pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, N), p1_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), p1_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, DN), lambda b, p, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b, p, j: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -111,6 +111,12 @@ def banded_resize(src: np.ndarray,
     ww = np.ascontiguousarray(ww, np.float32)
     hstart = np.ascontiguousarray(hstart, np.int32)
     wstart = np.ascontiguousarray(wstart, np.int32)
+    # The C++ inner loops don't bounds-check (the banded starts are built so
+    # start + max_taps fits the INTENDED input); a mismatched src would read
+    # out of bounds. Reject it here — the numpy fallback raises cleanly.
+    if (H < int(hstart.max()) + wh.shape[1] or W < int(wstart.max()) + ww.shape[1]
+            or hstart.min() < 0 or wstart.min() < 0):
+        return None
     Ho, max_th = wh.shape
     Wo, max_tw = ww.shape
     x = np.ascontiguousarray(src.reshape(-1, H, W))

@@ -245,15 +245,6 @@ def fuse_direction_params(unfused: dict) -> dict:
             out.append(node)
         return jnp.stack(out)
 
-    def bstack(path):
-        out = []
-        for b in branches:
-            node = bs[b]
-            for k in path:
-                node = node[k]
-            out.append(node)
-        return jnp.concatenate(out, axis=-1)
-
     vm = lambda *k: ("vit_mamba",) + k  # noqa: E731
 
     params = {

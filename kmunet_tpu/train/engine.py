@@ -225,14 +225,7 @@ def make_epoch_runner(model, loss_fn, tx, cfg: ExperimentConfig,
     B = cfg.data.batch_size
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_epoch(state: TrainState, data, rng):
-        # init_state stores batch_stats as a FrozenDict; the train body emits
-        # the plain-dict form flax.apply(mutable=...) returns. A scan carry
-        # must be structure-identical in and out — normalize up front.
-        if isinstance(state.batch_stats, FrozenDict):
-            from flax.core import unfreeze
-
-            state = state.replace(batch_stats=unfreeze(state.batch_stats))
+    def _run_epoch(state: TrainState, data, rng):
         perm = jax.random.permutation(jax.random.fold_in(rng, 0), data.shape[0])
         idx = perm[: n_batches * B].reshape(n_batches, B)
 
@@ -247,6 +240,18 @@ def make_epoch_runner(model, loss_fn, tx, cfg: ExperimentConfig,
 
         (state, _), losses = jax.lax.scan(scan_body, (state, rng), idx)
         return state, jnp.mean(losses)
+
+    def run_epoch(state: TrainState, data, rng):
+        # init_state stores batch_stats as a FrozenDict; the train body emits
+        # the plain-dict form flax.apply(mutable=...) returns. Normalize
+        # OUTSIDE the jit boundary: a FrozenDict carry-in would give epoch 1
+        # a different input treedef than its own plain-dict output, forcing
+        # a full recompile of the epoch-sized scan on epoch 2.
+        if isinstance(state.batch_stats, FrozenDict):
+            from flax.core import unfreeze
+
+            state = state.replace(batch_stats=unfreeze(state.batch_stats))
+        return _run_epoch(state, data, rng)
 
     return run_epoch
 

@@ -34,6 +34,12 @@ pic (Shanghai 256^2, 5-in/20-out, batch 2, SimplifiedEvaluator):
   trajgru     train_trajgru_pic_resul.py:343-347,399-401   Adam 1e-4 / Weighted_mse_mae(thr 20..40) / MultiStep / 60
   transunet   train_transunet_pic_resul.py:342-346,398-400 SGD 1e-2 m0.9 wd1e-4 / RAINlOSS / MultiStep / 60
 
+Optimizer-default quirk: the three bare ``torch.optim.AdamW(params, lr=...)``
+calls (train_NC_SCECA.py:302, train_NC_lptqpn.py:303,
+train_lptpqn_pic_resul.py:345) inherit torch's DEFAULT decoupled
+weight_decay=1e-2 — encoded explicitly below. The bare ``Adam`` calls
+inherit torch's default weight_decay=0 (L2), so 0.0 is faithful there.
+
 Loss name mapping (kmunet_tpu/losses/losses.py):
   "rain"             = RAINlOSS (MSE + MAE, models/loss.py:61-69)
   "rainfall"         = the 4-arg RainfallLoss(omega_t=0.57, alpha=0.25, ...)
@@ -74,12 +80,13 @@ _SGD = dict(optimizer="sgd", momentum=0.9, weight_decay=1e-4)
 RECIPES: dict[tuple[str, str], Recipe] = {
     # ---- NC (LAPS) ----
     ("sceca_net", "nc"): Recipe(optimizer="adamw", lr=1e-3, loss="rain",
-                                epochs=60, **_MULTISTEP),
+                                epochs=60, weight_decay=1e-2, **_MULTISTEP),
     ("smaat_unet", "nc"): Recipe(lr=1e-2, loss="rain", epochs=60,
                                  schedule="CosineAnnealingLR", t_max=30,
                                  eta_min=1e-4, **_SGD),
     ("lptqpn", "nc"): Recipe(optimizer="adamw", lr=1e-3, loss="rain",
-                             epochs=60, schedule="CosineAnnealingLR",
+                             epochs=60, weight_decay=1e-2,
+                             schedule="CosineAnnealingLR",
                              t_max=30, eta_min=1e-9),
     ("mamba_unet", "nc"): Recipe(optimizer="adam", lr=1e-3, loss="rainfall",
                                  epochs=40, schedule="CosineAnnealingLR",
@@ -100,7 +107,8 @@ RECIPES: dict[tuple[str, str], Recipe] = {
     ("convlstm", "pic"): Recipe(optimizer="adam", lr=1e-4,
                                 loss="weighted_mse_mae", epochs=60, **_MULTISTEP),
     ("lptqpn", "pic"): Recipe(optimizer="adamw", lr=1e-3, loss="rain",
-                              epochs=60, schedule="CosineAnnealingLR",
+                              epochs=60, weight_decay=1e-2,
+                              schedule="CosineAnnealingLR",
                               t_max=30, eta_min=1e-9),
     ("mamba_unet", "pic"): Recipe(lr=1e-3, loss="rainfall", epochs=60,
                                   schedule="CosineAnnealingLR", t_max=50,

@@ -86,3 +86,23 @@ def test_dataloader_shuffles_between_epochs():
     e1 = next(iter(dl))
     e2 = next(iter(dl))
     assert not np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_dataloader_abandoned_iteration_drains_threads():
+    # Breaking out of an epoch (engine --max_steps) closes the batch
+    # generator; feeder + workers parked on the bounded queues must drain
+    # rather than leak blocked threads holding decoded items.
+    import threading
+    import time
+
+    before = threading.active_count()
+    ds = SyntheticNowcastDataset(length=64, img_size=8, seq_len=3)
+    dl = DataLoader(ds, batch_size=2, num_workers=4, prefetch=0)
+    it = iter(dl)
+    next(it)
+    it.close()  # triggers GeneratorExit inside the pipeline generators
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"leaked {threading.active_count() - before} loader threads")
