@@ -56,14 +56,21 @@ def test_spot_check_against_reference_values():
     assert (t.loss, t.schedule, t.eta_min, t.cosine_t_max, t.epochs) == (
         "rain", "CosineAnnealingLR", 1e-4, 30, 60)
 
-    # LPTQPN NC: AdamW + RAINlOSS + cosine eta_min 1e-9 (train_NC_lptqpn.py:302-338)
+    # LPTQPN NC: AdamW + RAINlOSS + cosine eta_min 1e-9 (train_NC_lptqpn.py:302-338).
+    # Bare torch.optim.AdamW(params, lr) inherits torch's default decoupled
+    # weight_decay=1e-2 — the recipes must encode it.
     cfg = apply_recipe(laps_km_unet(), "lptqpn", "nc")
     assert (cfg.train.optimizer, cfg.train.eta_min) == ("adamw", 1e-9)
+    assert cfg.train.weight_decay == 1e-2
 
     # SCECA NC: AdamW + RAINlOSS + MultiStepLR [15000,30000] (train_NC_SCECA.py:301-338)
     cfg = apply_recipe(laps_km_unet(), "sceca_net", "nc")
     assert cfg.train.schedule == "MultiStepLR"
     assert tuple(cfg.train.milestones) == (15000, 30000)
+    assert cfg.train.weight_decay == 1e-2
+    assert apply_recipe(shanghai_km_unet(), "lptqpn", "pic").train.weight_decay == 1e-2
+    # Bare torch.optim.Adam defaults to weight_decay=0 (L2) — 0.0 is faithful.
+    assert apply_recipe(laps_km_unet(), "mamba_unet", "nc").train.weight_decay == 0.0
 
     # ConvLSTM pic: Adam 1e-4 + Weighted_mse_mae(thr 20..40) + MultiStep
     # (train_convlstm_pic_resul.py:344-346,398-401)
