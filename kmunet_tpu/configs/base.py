@@ -69,6 +69,13 @@ class TrainConfig:
     kan_reg_weight: float = 0.0       # spline L1+entropy regularizer weight;
                                       # 0 = off (the reference defines it but
                                       # never enables it, KANlayers.py:711)
+    grad_clip: float = 0.0            # global-norm gradient clip; 0 = off
+                                      # (the reference never clips — opt-in
+                                      # stabilizer for recipes it never ran)
+    nan_abort: bool = True            # stop the epoch loop when train/val
+                                      # loss goes non-finite (params are dead;
+                                      # the reference's nan_hook analogue,
+                                      # train_shanghai.py:287-294)
     seed: int = 42
     log_every: int = 50
     ckpt_dir: Optional[str] = None

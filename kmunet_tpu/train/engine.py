@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import csv
 import functools
+import math
 import os
 import sys
 import time
@@ -91,8 +92,11 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
                               epochs=t.epochs)
     from kmunet_tpu.train.optimizers import make_optimizer
 
-    return make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
-                          momentum=t.momentum)
+    tx = make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
+                        momentum=t.momentum)
+    if t.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(t.grad_clip), tx)
+    return tx
 
 
 def init_state(cfg: ExperimentConfig, model, tx, rng) -> TrainState:
@@ -451,6 +455,18 @@ def train_and_evaluate(
         print(f"epoch {epoch}: train={train_loss:.5f} val={val_loss:.5f} "
               f"({global_step} steps, {time.time()-t_start:.0f}s)")
 
+        if cfg.train.nan_abort and not (
+            math.isfinite(train_loss) and math.isfinite(val_loss)
+        ):
+            # Params are dead — further epochs burn chip hours producing NaN,
+            # and `NaN < best_val` is False so no checkpoint would ever save.
+            print(
+                f"ABORT: non-finite loss at epoch {epoch} "
+                f"(train={train_loss}, val={val_loss}); stopping. "
+                "Consider --train.grad_clip or a lower lr."
+            )
+            break
+
         if val_loss < best_val:
             best_val = val_loss
             bad_epochs = 0
@@ -465,7 +481,30 @@ def train_and_evaluate(
         if max_steps and global_step >= max_steps:
             break
 
-    # ---- test: CSI/POD/HSS/FAR/RMSE/SSIM via the streaming evaluator ----
+    results = evaluate_model(cfg, state, eval_step, test_loader)
+    results["history"] = history
+    results["steps"] = global_step
+
+    if log_csv and csv_rows:
+        if os.path.dirname(log_csv):
+            os.makedirs(os.path.dirname(log_csv), exist_ok=True)
+        with open(log_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(csv_rows[0]))
+            w.writeheader()
+            w.writerows(csv_rows)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    return results
+
+
+def evaluate_model(cfg: ExperimentConfig, state, eval_step, test_loader) -> dict:
+    """The reference's test() (train_shanghai.py:218-283): streaming
+    CSI/POD/HSS/FAR/RMSE/SSIM evaluator + optional scatter-eval path +
+    prediction/gt/input PNG strips. Standalone so a trained checkpoint can
+    be evaluated without re-training (the reference reloads the best
+    checkpoint before test, train_shanghai.py:437-441) — see
+    ``evaluate_checkpoint`` and ``scripts/evaluate.py``."""
     from kmunet_tpu.metrics.lpips import make_lpips_fn
 
     evaluator = Evaluator(
@@ -516,19 +555,43 @@ def train_and_evaluate(
             csv_path=os.path.join(out_dir, "scatter_metrics.csv") if out_dir else None,
         )
     results["test_loss"] = t_loss / max(n_t, 1)
-    results["history"] = history
-    results["steps"] = global_step
+    return results
 
-    if log_csv and csv_rows:
-        if os.path.dirname(log_csv):
-            os.makedirs(os.path.dirname(log_csv), exist_ok=True)
-        with open(log_csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(csv_rows[0]))
-            w.writeheader()
-            w.writerows(csv_rows)
-    if ckpt is not None:
-        ckpt.wait()
-        ckpt.close()
+
+def evaluate_checkpoint(cfg: ExperimentConfig, ckpt_dir: str,
+                        which: str = "best") -> dict:
+    """Restore a checkpoint and run ONLY the test pass.
+
+    Mirrors the reference's standalone evaluation flow: load the saved best
+    model, then test() with the streaming evaluator and visualization
+    (train_shanghai.py:437-441,218-283). ``which``: 'best' (by val loss, the
+    reference's semantics) or 'latest'.
+    """
+    from kmunet_tpu.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.spatial, cfg.mesh.model))
+    data_sh = batch_sharding(mesh, ndim=4)
+    _, _, test_ds = build_datasets(cfg)
+    test_loader = DataLoader(
+        test_ds, cfg.data.batch_size, shuffle=False, seed=cfg.train.seed,
+        num_workers=cfg.data.num_workers, sharding=data_sh,
+    )
+    model = build_model(cfg)
+    loss_fn = build_loss(cfg)
+    tx = build_optimizer(cfg, steps_per_epoch=1)
+    template = jax.eval_shape(
+        lambda: init_state(cfg, model, tx, jax.random.PRNGKey(cfg.train.seed))
+    )
+    ckpt = CheckpointManager(ckpt_dir)
+    step, state = (ckpt.restore_best(template) if which == "best"
+                   else ckpt.restore_latest(template))
+    ckpt.close()
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    state = jax.device_put(state, replicated(mesh))
+    eval_step = make_eval_step(model, loss_fn, cfg)
+    results = evaluate_model(cfg, state, eval_step, test_loader)
+    results["checkpoint_step"] = int(step)
     return results
 
 

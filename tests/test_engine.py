@@ -201,6 +201,15 @@ def test_checkpoint_roundtrip(tmp_path):
     assert n > 1e5
     mgr.close()
 
+    # Standalone test-only pass over the saved checkpoint (the reference's
+    # reload-best-then-test flow, train_shanghai.py:437-441).
+    from kmunet_tpu.train.engine import evaluate_checkpoint
+
+    r2 = evaluate_checkpoint(cfg, cfg.train.ckpt_dir, which="best")
+    assert r2["checkpoint_step"] == 1
+    assert "threshold_metrics" in r2 and "test_loss" in r2
+    assert np.isfinite(r2["test_loss"])
+
 
 def test_laps_config_runs():
     cfg = laps_km_unet()
@@ -247,3 +256,24 @@ def test_parse_overrides():
     assert cfg.data.img_size == 128
     assert tuple(cfg.model.embed_dims) == (8, 16, 32)
     assert cfg.mesh.fsdp is True
+
+
+def test_grad_clip_option():
+    """--train.grad_clip chains a global-norm clip in front of the optimizer
+    (opt-in stabilizer; the reference never clips)."""
+    import optax
+
+    from kmunet_tpu.train.engine import build_optimizer
+
+    cfg = shanghai_km_unet()
+    cfg.train.grad_clip = 1.0
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4,), 100.0)}
+    st = tx.init(params)
+    updates, _ = tx.update(grads, st, params)
+    # AdamW normalizes per-coordinate, so check the clip via the raw chain:
+    clip = optax.clip_by_global_norm(1.0)
+    clipped, _ = clip.update(grads, clip.init(params), params)
+    assert float(optax.global_norm(clipped)) <= 1.0 + 1e-6
+    assert jnp.all(jnp.isfinite(updates["w"]))
