@@ -14,6 +14,15 @@ if "xla_force_host_platform_device_count" not in _flags:
     _flags += " --xla_force_host_platform_device_count=8"
 # Tests assert numerics/shapes, not speed: skip the XLA optimization
 # pipeline (compile time dominates the suite on this 1-core host).
+#
+# KNOWN XLA-CPU HAZARD at optimization level 0: large backward graphs can
+# be MISCOMPILED into NaN gradients while the forward stays finite — seen
+# reproducibly on the full SmaAt-UNet train step at B4 32^2 (grads NaN at
+# level 0, bit-healthy at the default level; forward intermediates all
+# finite either way). Individual ops and small composites do not trigger
+# it. If a grad-finiteness test fails ONLY under this harness, re-check at
+# the default optimization level before treating it as a model bug
+# (XLA_FLAGS without the level-0 flag); real-TPU runs are unaffected.
 if "xla_backend_optimization_level" not in _flags:
     _flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = _flags
