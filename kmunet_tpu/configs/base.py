@@ -63,6 +63,8 @@ class TrainConfig:
     eta_min: float = 5e-4
     milestones: Sequence[int] = (15000, 30000)  # MultiStepLR, epoch units
     gamma: float = 0.1                # MultiStepLR/StepLR decay factor
+    plateau_factor: float = 0.1       # schedule="plateau" (ReduceLROnPlateau)
+    plateau_patience: int = 10        # epochs without val improvement
     epochs: int = 120
     loss: str = "hybrid"
     loss_alpha: float = 0.7

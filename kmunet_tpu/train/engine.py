@@ -81,7 +81,12 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     t = cfg.train
     if t.schedule == "cosine_epoch":
         sched = cosine_annealing_per_epoch(t.lr, t.eta_min, t.cosine_t_max, steps_per_epoch)
-    elif t.schedule == "constant":
+    elif t.schedule in ("constant", "plateau"):
+        # plateau: constant base lr; the engine consults a host-side
+        # PlateauScheduler between epochs and writes its scale into the
+        # trailing inject_hyperparams(optax.scale) stage (ReduceLROnPlateau,
+        # models/utils.py:184-189 — defined by the reference's factory,
+        # unused by its scripts).
         sched = t.lr
     else:
         from kmunet_tpu.train.optimizers import make_schedule
@@ -92,11 +97,14 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
                               epochs=t.epochs)
     from kmunet_tpu.train.optimizers import make_optimizer
 
-    tx = make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
-                        momentum=t.momentum)
+    stages = []
     if t.grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(t.grad_clip), tx)
-    return tx
+        stages.append(optax.clip_by_global_norm(t.grad_clip))
+    stages.append(make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
+                                 momentum=t.momentum))
+    if t.schedule == "plateau":
+        stages.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
+    return stages[0] if len(stages) == 1 else optax.chain(*stages)
 
 
 def init_state(cfg: ExperimentConfig, model, tx, rng) -> TrainState:
@@ -411,6 +419,13 @@ def train_and_evaluate(
                 state = jax.device_put(restored, replicated(mesh))
                 print(f"resumed from checkpoint step {step_restored}")
 
+    plateau = None
+    if cfg.train.schedule == "plateau":
+        from kmunet_tpu.train.optimizers import PlateauScheduler
+
+        plateau = PlateauScheduler(factor=cfg.train.plateau_factor,
+                                   patience=cfg.train.plateau_patience)
+
     csv_rows = []
     best_val = float("inf")
     bad_epochs = 0
@@ -447,6 +462,16 @@ def train_and_evaluate(
                 l, _, _ = eval_step(state, batch)
                 v_losses.append(l)
             val_loss = float(jnp.mean(jnp.stack(v_losses))) if v_losses else 0.0
+
+        if plateau is not None and math.isfinite(val_loss):
+            # ReduceLROnPlateau semantics: consult the host-side controller
+            # and write its scale into the trailing inject_hyperparams stage
+            # (same treedef/shape, so no retrace of the jitted step).
+            scale = plateau.update(val_loss)
+            inj = state.opt_state[-1]
+            state = state.replace(opt_state=state.opt_state[:-1] + (
+                inj._replace(hyperparams={"step_size": jnp.asarray(scale, jnp.float32)}),
+            ))
 
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
