@@ -246,10 +246,19 @@ STAGES = {
 def main():
     want = sys.argv[1:] or list(STAGES)
     log("devices:", jax.devices())
+    failed = []
     for name in want:
         log(f"=== stage {name} ===")
-        STAGES[name]()
-    log("ALL DONE")
+        try:
+            STAGES[name]()
+        except Exception as e:  # one-shot autorun window: never lose the
+            import traceback    # remaining stages to one failure
+
+            failed.append(name)
+            log(f"stage {name} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc()
+    log("ALL DONE" + (f" (failed: {','.join(failed)})" if failed else ""))
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
