@@ -233,9 +233,55 @@ def stage_mamba():
             log(f"mamba train-step B{B}: FAILED {type(e).__name__}: {e}")
 
 
+def stage_flagship_train():
+    """Full KM_UNetV3_SH train step (hybrid loss + AdamW + cosine, the
+    reference recipe) at 128^2 bf16 compute — training frames/s/chip."""
+    import bench
+    from kmunet_tpu.configs import shanghai_km_unet
+    from kmunet_tpu.train.engine import (
+        build_loss, build_model, build_optimizer, init_state, make_train_step)
+
+    for B, remat in ((32, False), (64, True)):
+        cfg = shanghai_km_unet()
+        cfg.data.name = "synthetic"
+        cfg.data.img_size = 128
+        cfg.data.batch_size = B
+        cfg.train.compute_dtype = "bfloat16"
+        cfg.train.remat = remat
+        model = build_model(cfg)
+        loss_fn = build_loss(cfg)
+        tx = build_optimizer(cfg, steps_per_epoch=16)
+        state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
+        batch = jax.random.uniform(
+            jax.random.PRNGKey(1), (B, cfg.data.seq_len, 128, 128), jnp.float32)
+        step = make_train_step(model, loss_fn, tx, cfg)
+
+        def one(state, batch, r):
+            s, m = step(state, batch, r)
+            return s
+
+        try:
+            # chained timing via state reuse: each iteration's state feeds the
+            # next; read a scalar at the end
+            import time as _t
+
+            s, _ = step(state, batch, jax.random.PRNGKey(2))  # compile+warm
+            n = 8
+            t0 = _t.time()
+            for i in range(n):
+                s, m = step(s, batch, jax.random.PRNGKey(3 + i))
+            _ = float(m["loss"])
+            dt = (_t.time() - t0) / n
+            log(f"flagship-train B{B} remat={remat}: {dt*1e3:.1f} ms/step -> "
+                f"{B*20/dt:.0f} train frames/s/chip (loss {float(m['loss']):.4f})")
+        except Exception as e:
+            log(f"flagship-train B{B} remat={remat}: FAILED {type(e).__name__}: {e}")
+
+
 STAGES = {
     "sanity": stage_sanity,
     "flagship": stage_flagship,
+    "flagship_train": stage_flagship_train,
     "modules": stage_modules,
     "dysample": stage_dysample,
     "trajgru": stage_trajgru,
