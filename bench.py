@@ -214,9 +214,29 @@ def measure_zoo(img=IMG, out_frames=OUT_FRAMES, only=None) -> list[dict]:
     return rows
 
 
+def _probe_backend(timeout: int = 300) -> None:
+    """Fail fast instead of hanging: with the remote-TPU tunnel down, the
+    first backend touch HANGS (it does not raise — see __graft_entry__
+    docstring), which would eat the driver's whole bench window. Probe
+    device init in a subprocess with a hard timeout."""
+    import subprocess
+    import sys
+
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        sys.exit(f"bench: device backend unresponsive after {timeout}s "
+                 "(TPU tunnel down?) — aborting instead of hanging")
+    if r.returncode != 0:
+        sys.exit(f"bench: device init failed: {r.stderr.strip()[-400:]}")
+
+
 def main():
     import sys
 
+    _probe_backend()
     if "train" in sys.argv[1:]:
         print(json.dumps(measure_train_step()))
         return
