@@ -341,6 +341,42 @@ def build_datasets(cfg: ExperimentConfig):
 # loop
 # --------------------------------------------------------------------------
 
+def _write_results_json(path: str, results: dict, cfg: ExperimentConfig) -> None:
+    """results.json: test metrics + run identity, JSON-safe (numpy scalars ->
+    python, int threshold keys -> strings)."""
+    import json
+
+    def safe(x):
+        if isinstance(x, dict):
+            return {str(k): safe(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [safe(v) for v in x]
+        if isinstance(x, (np.floating, np.integer)):
+            return x.item()
+        if isinstance(x, float) and not math.isfinite(x):
+            return str(x)  # JSON has no NaN/Inf
+        return x
+
+    payload = {
+        "model": cfg.model.name,
+        "dataset": cfg.data.name,
+        "img_size": cfg.data.img_size,
+        "batch_size": cfg.data.batch_size,
+        "loss": cfg.train.loss,
+        "optimizer": cfg.train.optimizer,
+        "lr": cfg.train.lr,
+        "compute_dtype": cfg.train.compute_dtype,
+        **{k: safe(v) for k, v in results.items() if k != "history"},
+        "final_train_loss": safe(results["history"]["train_loss"][-1])
+        if results.get("history", {}).get("train_loss") else None,
+        "final_val_loss": safe(results["history"]["val_loss"][-1])
+        if results.get("history", {}).get("val_loss") else None,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
 def train_and_evaluate(
     cfg: ExperimentConfig,
     max_steps: Optional[int] = None,
@@ -509,6 +545,12 @@ def train_and_evaluate(
     results = evaluate_model(cfg, state, eval_step, test_loader)
     results["history"] = history
     results["steps"] = global_step
+    if cfg.train.out_dir:
+        # Structured artifact next to the vis PNGs / scatter CSV, so batch
+        # runs (e.g. the quality table) are machine-parseable — the reference
+        # only prints its test metrics (train_shanghai.py:273-283).
+        _write_results_json(os.path.join(cfg.train.out_dir, "results.json"),
+                            results, cfg)
 
     if log_csv and csv_rows:
         if os.path.dirname(log_csv):

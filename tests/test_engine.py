@@ -247,6 +247,14 @@ def test_vis_and_scatter_eval_wired(tmp_path):
     pngs = sorted(os.listdir(vis_root))
     assert pngs == ["gt.png", "input.png", "prediction.png"]
 
+    # structured artifact for batch runs (quality table summarizer)
+    import json
+
+    res = json.load(open(tmp_path / "out" / "results.json"))
+    assert res["model"] == cfg.model.name
+    assert "0.1" in res["threshold_metrics"] and "CSI" in res["threshold_metrics"]["0.1"]
+    assert res["final_val_loss"] is not None
+
 
 def test_parse_overrides():
     cfg = shanghai_km_unet()
