@@ -659,6 +659,9 @@ def evaluate_checkpoint(cfg: ExperimentConfig, ckpt_dir: str,
     eval_step = make_eval_step(model, loss_fn, cfg)
     results = evaluate_model(cfg, state, eval_step, test_loader)
     results["checkpoint_step"] = int(step)
+    if cfg.train.out_dir:
+        _write_results_json(os.path.join(cfg.train.out_dir, "results.json"),
+                            results, cfg)
     return results
 
 
