@@ -335,3 +335,17 @@ def test_plateau_schedule_wiring(monkeypatch):
     # constant val loss: epoch 0 sets best, epochs 1-2 trip patience=1 ->
     # scale 0.5, epochs 3-4 trip again -> 0.25.
     assert float(inj.hyperparams["step_size"]) == pytest.approx(0.25)
+
+
+def test_seq_layout_e2e():
+    """train_and_evaluate with a sequence-layout model (ConvLSTM EF): the
+    (B, S, H, W) batch split, _to_btHW passthrough, eval + streaming metrics
+    — the layout machinery the stack models never touch (~110 s here)."""
+    cfg = _tiny_cfg()
+    cfg.model.name = "convlstm"
+    cfg.train.loss = "mse"
+    cfg.train.vis_batches = 0
+    r = train_and_evaluate(cfg, max_steps=1)
+    assert np.isfinite(r["test_loss"])
+    assert 20 in r["threshold_metrics"]
+    assert np.isfinite(r["history"]["val_loss"][0])
