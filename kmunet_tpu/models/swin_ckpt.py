@@ -156,8 +156,12 @@ def load_swin_state_dict(
                 src.setdefault(mirrored, v)
     else:
         # Full-model dump: strip the 17-char "module.swin_unet." prefix and
-        # drop the output head (Swim_Unet.py:1074-1079).
-        src = {k[17:]: v for k, v in state_dict.items()}
+        # drop the output head (Swim_Unet.py:1074-1079; the reference slices
+        # k[17:] blindly — we strip only when the prefix is actually there so
+        # already-unwrapped mappings load instead of silently mangling).
+        pre = "module.swin_unet."
+        src = {(k[len(pre):] if k.startswith(pre) else k): v
+               for k, v in state_dict.items()}
         src = {k: v for k, v in src.items() if "output" not in k}
 
     flat = dict(params) if isinstance(params, dict) else params.unfreeze()  # shallow ok

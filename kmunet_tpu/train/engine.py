@@ -352,7 +352,7 @@ def _write_results_json(path: str, results: dict, cfg: ExperimentConfig) -> None
         if isinstance(x, (list, tuple)):
             return [safe(v) for v in x]
         if isinstance(x, (np.floating, np.integer)):
-            return x.item()
+            return safe(x.item())  # re-enter: numpy NaN needs the guard below
         if isinstance(x, float) and not math.isfinite(x):
             return str(x)  # JSON has no NaN/Inf
         return x
@@ -461,6 +461,11 @@ def train_and_evaluate(
 
         plateau = PlateauScheduler(factor=cfg.train.plateau_factor,
                                    patience=cfg.train.plateau_patience)
+        # On resume, carry over the decayed LR scale from the restored opt
+        # state — a fresh controller would silently reset it to 1.0 at the
+        # end of the first resumed epoch. (best/patience are host state the
+        # checkpoint doesn't hold; they re-warm within one patience window.)
+        plateau.scale = float(state.opt_state[-1].hyperparams["step_size"])
 
     csv_rows = []
     best_val = float("inf")
@@ -643,6 +648,13 @@ def evaluate_checkpoint(cfg: ExperimentConfig, ckpt_dir: str,
         test_ds, cfg.data.batch_size, shuffle=False, seed=cfg.train.seed,
         num_workers=cfg.data.num_workers, sharding=data_sh,
     )
+    if len(test_loader) == 0:
+        raise ValueError(
+            f"test loader yields 0 batches (dataset len {len(test_ds)} < "
+            f"global batch {cfg.data.batch_size}?) — metrics would be empty"
+        )
+    if which not in ("best", "latest"):
+        raise ValueError(f"which={which!r}: expected 'best' or 'latest'")
     model = build_model(cfg)
     loss_fn = build_loss(cfg)
     tx = build_optimizer(cfg, steps_per_epoch=1)

@@ -256,10 +256,6 @@ def stage_flagship_train():
             jax.random.PRNGKey(1), (B, cfg.data.seq_len, 128, 128), jnp.float32)
         step = make_train_step(model, loss_fn, tx, cfg)
 
-        def one(state, batch, r):
-            s, m = step(state, batch, r)
-            return s
-
         try:
             # chained timing via state reuse: each iteration's state feeds the
             # next; read a scalar at the end

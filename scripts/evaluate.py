@@ -36,6 +36,8 @@ def main():
             rest.append(a)
     if not ckpt_dir:
         sys.exit("usage: evaluate.py --ckpt=<checkpoint dir> [--which=best|latest]")
+    if which not in ("best", "latest"):
+        sys.exit(f"--which={which}: expected 'best' or 'latest'")
 
     cfg = laps_km_unet() if config_name == "laps" else shanghai_km_unet()
     if config_name == "synthetic":

@@ -26,17 +26,20 @@ def main():
     if not rows:
         sys.exit(f"no results under {root}")
 
-    thresholds = sorted(rows[0][1]["threshold_metrics"], key=float)
+    thresholds = sorted({t for _, r in rows for t in r["threshold_metrics"]},
+                        key=float)
     hdr = ["model"] + [f"CSI@{t}" for t in thresholds] + [f"HSS@{t}" for t in thresholds] \
         + ["FAR", "RMSE", "SSIM", "val loss"]
     print("| " + " | ".join(hdr) + " |")
     print("|" + "---|" * len(hdr))
+    # results.json serializes non-finite metrics as strings ("nan") — the
+    # evaluator deliberately yields NaN CSI/HSS at degenerate thresholds.
+    fmt = lambda v: f"{v:.3f}" if isinstance(v, (int, float)) else str(v)  # noqa: E731
     for model, r in rows:
         tm = r["threshold_metrics"]
         cells = [model]
-        cells += [f"{tm[t]['CSI']:.3f}" for t in thresholds]
-        cells += [f"{tm[t]['HSS']:.3f}" for t in thresholds]
-        fmt = lambda v: f"{v:.3f}" if isinstance(v, (int, float)) else str(v)  # noqa: E731
+        cells += [fmt(tm[t]["CSI"]) if t in tm else "—" for t in thresholds]
+        cells += [fmt(tm[t]["HSS"]) if t in tm else "—" for t in thresholds]
         cells += [fmt(r.get("FAR")), fmt(r.get("RMSE")), fmt(r.get("SSIM")),
                   fmt(r.get("final_val_loss"))]
         print("| " + " | ".join(cells) + " |")

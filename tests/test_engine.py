@@ -269,22 +269,31 @@ def test_parse_overrides():
 def test_grad_clip_option():
     """--train.grad_clip chains a global-norm clip in front of the optimizer
     (opt-in stabilizer; the reference never clips)."""
-    import optax
-
     from kmunet_tpu.train.engine import build_optimizer
 
     cfg = shanghai_km_unet()
-    cfg.train.grad_clip = 1.0
-    tx = build_optimizer(cfg, steps_per_epoch=10)
+    cfg.train.schedule = "constant"  # lr(step) identical across both builds
     params = {"w": jnp.zeros((4,))}
-    grads = {"w": jnp.full((4,), 100.0)}
-    st = tx.init(params)
-    updates, _ = tx.update(grads, st, params)
-    # AdamW normalizes per-coordinate, so check the clip via the raw chain:
-    clip = optax.clip_by_global_norm(1.0)
-    clipped, _ = clip.update(grads, clip.init(params), params)
-    assert float(optax.global_norm(clipped)) <= 1.0 + 1e-6
-    assert jnp.all(jnp.isfinite(updates["w"]))
+    small = {"w": jnp.full((4,), 1e-4)}   # below the clip norm: must match
+    big = {"w": jnp.full((4,), 100.0)}    # above it: must differ
+
+    def updates_of(grad_clip, g1, g2):
+        # two sequential updates: Adam's first step is magnitude-invariant
+        # (m_hat/sqrt(v_hat) ~ sign(g)), but its m/v STATE is not — the
+        # second update separates clipped from unclipped builds.
+        cfg.train.grad_clip = grad_clip
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        st = tx.init(params)
+        _, st = tx.update(g1, st, params)
+        u, _ = tx.update(g2, st, params)
+        return u["w"]
+
+    assert not np.allclose(np.asarray(updates_of(1.0, big, small)),
+                           np.asarray(updates_of(0.0, big, small)))
+    # under-threshold grads are untouched: both builds agree exactly
+    np.testing.assert_allclose(np.asarray(updates_of(1.0, small, small)),
+                               np.asarray(updates_of(0.0, small, small)))
+    assert jnp.all(jnp.isfinite(updates_of(1.0, big, big)))
 
 
 def test_plateau_schedule_wiring(monkeypatch):
