@@ -429,9 +429,13 @@ def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
     # The VMEM working set is per-GROUP (~3 temporaries of (tt, Cg*W)), so
     # the tile budget scales with Cg*W, not W*C — this is what lets tt stay
     # large (small tiles multiply matmul count; MXU pipeline fill dominates).
+    # Halved vs the plain kernel: Mosaic's scoped-stack allocator keeps ~2
+    # unrolled group iterations' temporaries live at once (measured on v5e:
+    # tt*CgW = 1M elems -> 20.43M scoped stack > the 16M limit; the plain,
+    # loop-free kernel fits 2M elems in the same window).
     CgW = Cg * W
-    budget = _VMEM_BUDGET_ELEMS if dt in (jnp.bfloat16, jnp.float16) \
-        else _VMEM_BUDGET_ELEMS // 2
+    budget = _VMEM_BUDGET_ELEMS // 2 if dt in (jnp.bfloat16, jnp.float16) \
+        else _VMEM_BUDGET_ELEMS // 4
     tt = 2048
     while tt * CgW > budget and tt > 128:
         tt //= 2
