@@ -100,12 +100,17 @@ class EnhancedViMBlock(nn.Module):
     ``impl`` selects how the three DirectionViM branches are evaluated
     (identical math and parameter distributions in all cases):
 
-    - ``'fused'`` (default): ONE channel-stacked (B, H, W, 3C) chain
+    - ``'separate'`` (default): three independent DirectionViM submodules.
+      Measured FASTER than 'fused' on the real v5e at the full-model level
+      (183.3 vs 206.3 ms @ B128 128^2 bf16, 2026-08-19): XLA lowers the
+      grouped/feature_group_count convs of the stacked chain worse than
+      three plain convs it can fuse independently.
+    - ``'fused'``: ONE channel-stacked (B, H, W, 3C) chain
       (nn/fused_vim.py) — per-branch convs become grouped/block-diagonal
-      convs and per-branch denses become stacked einsums, filling MXU lanes
-      that the C=16..64 single-branch ops leave idle.
-    - ``'separate'``: three independent DirectionViM submodules (the
-      round-2 layout; `fuse_direction_params` migrates its checkpoints).
+      convs and per-branch denses become stacked einsums. Kept because the
+      lane-packing argument holds on paper and other toolchain versions may
+      lower it better; `fuse_direction_params` migrates 'separate'
+      checkpoints into it.
     - ``'vmap'``: nn.vmap over a stacked (3, B, ...) axis. Measured on v5e
       it is *slower* than 'separate' (13.4 vs 11.0 ms at B8 128^2 C16: XLA
       lowers per-item-kernel batched convs poorly); kept for reference.
@@ -114,7 +119,7 @@ class EnhancedViMBlock(nn.Module):
     expansion: int = 4
     state_dim: int = 64
     drop_path: float = 0.1
-    impl: str = "fused"
+    impl: str = "separate"
     packing: str = "grouped"  # 'fused' impl: 'grouped' | 'blockdiag' convs
 
     @nn.compact

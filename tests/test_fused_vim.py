@@ -76,8 +76,11 @@ def test_fused_train_mode_updates_batch_stats(rng):
     assert float(jnp.abs(m).max()) > 0.0
 
 
-def test_default_impl_is_fused():
-    assert EnhancedViMBlock(state_dim=16).impl == "fused"
+def test_default_impl_is_separate():
+    # 'separate' measured faster than 'fused' at the full-model level on the
+    # real v5e (183.3 vs 206.3 ms @ B128 128^2 bf16, 2026-08-19): XLA lowers
+    # the stacked chain's grouped convs worse than three fusable plain convs.
+    assert EnhancedViMBlock(state_dim=16).impl == "separate"
 
 
 def test_fused_init_distribution_matches_separate():
