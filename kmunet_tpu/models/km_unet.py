@@ -109,8 +109,10 @@ class EnhancedViMBlock(nn.Module):
       (nn/fused_vim.py) — per-branch convs become grouped/block-diagonal
       convs and per-branch denses become stacked einsums. Kept because the
       lane-packing argument holds on paper and other toolchain versions may
-      lower it better; `fuse_direction_params` migrates 'separate'
-      checkpoints into it.
+      lower it better; `fuse_direction_params` / `unfuse_direction_params`
+      (nn/fused_vim.py) migrate checkpoints between the two layouts in both
+      directions, so checkpoints saved while 'fused' was briefly the default
+      restore fine after unfuse.
     - ``'vmap'``: nn.vmap over a stacked (3, B, ...) axis. Measured on v5e
       it is *slower* than 'separate' (13.4 vs 11.0 ms at B8 128^2 C16: XLA
       lowers per-item-kernel batched convs poorly); kept for reference.

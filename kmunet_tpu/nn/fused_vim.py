@@ -302,3 +302,81 @@ def fuse_direction_params(unfused: dict) -> dict:
                 "var": jnp.concatenate([_get(bs[b], path)["var"] for b in branches], -1),
             }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def unfuse_direction_params(fused: dict) -> dict:
+    """Inverse of :func:`fuse_direction_params`: map a FusedDirectionViM
+    param tree back onto the EnhancedViMBlock 'separate' layout
+    (height_block / width_block / channel_block submodules).
+
+    Exact round trip — every fused parameter is a stack (leading branch
+    axis) or concat (channel axis) of the separate ones, so unstack/split
+    recovers them bit-for-bit. Lets checkpoints saved while 'fused' was the
+    model default (the 0106562..4f1f683 window) restore into the current
+    'separate' default.
+    """
+    p = fused["params"]
+    bs = fused.get("batch_stats", {})
+    branches = ["height_block", "width_block", "channel_block"]
+    vm = lambda *k: ("vit_mamba",) + k  # noqa: E731
+
+    # (fused leaf name, per-branch path under the branch submodule)
+    stacked = [
+        ("proj_bias", ("proj", "bias")),
+        ("alpha", vm("alpha")),
+        ("dw1_kernel", vm("dwconv1", "Conv_0", "kernel")),
+        ("ln_scale", vm("norm", "scale")),
+        ("ln_bias", vm("norm", "bias")),
+        ("BCdt_proj_kernel", vm("mixer", "BCdt_proj_kernel")),
+        ("BCdt_dw_kernel", vm("mixer", "dw_kernel")),
+        ("A", vm("mixer", "A")),
+        ("hz_kernel", vm("mixer", "hz_proj", "kernel")),
+        ("D", vm("mixer", "D")),
+        ("out_kernel", vm("mixer", "out_proj", "kernel")),
+        ("dw2_kernel", vm("dwconv2", "Conv_0", "kernel")),
+        ("ffn1_kernel", vm("ffn", "ConvBNAct_0", "Conv_0", "kernel")),
+        ("ffn2_kernel", vm("ffn", "ConvBNAct_1", "Conv_0", "kernel")),
+        ("gate1_kernel", ("attn", "Dense_0", "kernel")),
+        ("gate1_bias", ("attn", "Dense_0", "bias")),
+        ("gate2_kernel", ("attn", "Dense_1", "kernel")),
+        ("gate2_bias", ("attn", "Dense_1", "bias")),
+        ("qkv_kernel", ("attn", "qkv", "kernel")),
+        ("qkv_bias", ("attn", "qkv", "bias")),
+        ("attn_dw_kernel", ("attn", "conv", "kernel")),
+        ("attn_dw_bias", ("attn", "conv", "bias")),
+    ]
+    out = {b: {} for b in branches}
+
+    def _set(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for i, b in enumerate(branches):
+        _set(out[b], ("proj", "kernel"),
+             p[{"height_block": "proj_h_kernel",
+                "width_block": "proj_w_kernel",
+                "channel_block": "proj_c_kernel"}[b]])
+        for fused_name, path in stacked:
+            _set(out[b], path, p[fused_name][i])
+
+    bn_paths = [
+        ("bn1", vm("dwconv1", "BatchNorm_0")),
+        ("bn2", vm("dwconv2", "BatchNorm_0")),
+        ("ffn_bn1", vm("ffn", "ConvBNAct_0", "BatchNorm_0")),
+        ("ffn_bn2", vm("ffn", "ConvBNAct_1", "BatchNorm_0")),
+    ]
+    for fused_name, path in bn_paths:
+        for field in ("scale", "bias"):
+            parts = jnp.split(p[fused_name][field], 3, axis=-1)
+            for b, part in zip(branches, parts):
+                _set(out[b], path + (field,), part)
+    out_bs = {b: {} for b in branches}
+    if bs:
+        for fused_name, path in bn_paths:
+            for field in ("mean", "var"):
+                parts = jnp.split(bs[fused_name][field], 3, axis=-1)
+                for b, part in zip(branches, parts):
+                    _set(out_bs[b], path + (field,), part)
+    return {"params": out, "batch_stats": out_bs}

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from kmunet_tpu.models.km_unet import EnhancedViMBlock
-from kmunet_tpu.nn.fused_vim import fuse_direction_params
+from kmunet_tpu.nn.fused_vim import fuse_direction_params, unfuse_direction_params
 
 OUTER = ("Dense_0", "Dense_1", "norm", "Conv_0", "Conv_1")
 
@@ -81,6 +81,28 @@ def test_default_impl_is_separate():
     # real v5e (183.3 vs 206.3 ms @ B128 128^2 bf16, 2026-08-19): XLA lowers
     # the stacked chain's grouped convs worse than three fusable plain convs.
     assert EnhancedViMBlock(state_dim=16).impl == "separate"
+
+
+def test_unfuse_roundtrip_is_exact(rng):
+    """fuse -> unfuse must be the identity (bit-exact): the reverse
+    migration restores fused-window checkpoints into the 'separate'
+    default layout (ADVICE r3)."""
+    B, H, W, C = 1, 8, 8, 16
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    sep = EnhancedViMBlock(state_dim=16, impl="separate")
+    vs = sep.init(jax.random.PRNGKey(0), x)
+    # run one train step so batch_stats are non-trivial
+    _, mut = sep.apply(vs, x, True, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    vs = {"params": vs["params"], "batch_stats": mut["batch_stats"]}
+    back = unfuse_direction_params(fuse_direction_params(vs))
+    for b in ("height_block", "width_block", "channel_block"):
+        for col, orig in (("params", vs["params"]), ("batch_stats", vs["batch_stats"])):
+            want = jax.tree.leaves(orig[b])
+            got = jax.tree.leaves(back[col][b])
+            assert len(want) == len(got), (b, col)
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
 def test_fused_init_distribution_matches_separate():
