@@ -45,13 +45,32 @@ def _bf16_tree(tree):
     )
 
 
+def _perturb_first_leaf(arg, c):
+    """Multiply the first floating leaf of ``arg`` by (1 + 1e-20*c) — enough
+    of a data dependency to chain benchmark iterations without perturbing
+    (and paying a pass over) a whole parameter tree."""
+    leaves, treedef = jax.tree.flatten(arg)
+    for i, leaf in enumerate(leaves):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            leaves[i] = leaf * (1.0 + 1e-20 * c).astype(leaf.dtype)
+            break
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def _chain_time(apply_fn, *xs, iters=ITERS):
     @jax.jit
     def run_chain(*xs):
         def body(i, carry):
-            y = apply_fn(*[x * (1.0 + 1e-20 * carry) if hasattr(x, "dtype") else x
-                           for x in xs])
-            return carry + jnp.mean(y.astype(jnp.float32))
+            # Chain iterations: perturb ONE floating leaf per top-level arg
+            # (args may be pytrees — param dicts, lists of feature maps).
+            # Only one leaf so a params tree doesn't add a full-tree multiply
+            # to every timed iteration.
+            y = apply_fn(*[_perturb_first_leaf(x, carry) for x in xs])
+            # y may itself be a pytree (e.g. updated params) — reduce leaves.
+            leaves = [jnp.mean(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(y)
+                      if jnp.issubdtype(l.dtype, jnp.floating)]
+            return carry + sum(leaves) / max(len(leaves), 1)
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
@@ -95,28 +114,19 @@ def measure(vim_impl: str | None = None) -> float:
 
 
 def measure_best_impl() -> tuple[float, str]:
-    """Time both EnhancedViM execution layouts, return the faster.
+    """Time the EnhancedViM 'separate' layout (the measured winner).
 
-    'fused' (round 3: one channel-stacked grouped chain) and 'separate'
-    (round 2: three DirectionViM branches) are the same math — impl is an
-    execution-strategy flag — but 'fused' first touches real TPU hardware in
-    this very run. Measuring both keeps the headline honest either way.
-    Set KMUNET_BENCH_IMPL=fused|separate to pin one (halves compile time).
+    Round 3 measured both layouts every driver run to keep the headline
+    honest while 'fused' had never touched silicon. The ablation is now
+    settled three ways on the real v5e (all 2026-08-19): full model 184.7 vs
+    207.4 ms @ B128 128^2, and module-level at all three encoder shapes
+    (31.9/11.8/5.4 vs 35.5/15.1/7.0 ms) — 'fused' LOSES everywhere, so the
+    default bench runs one layout (VERDICT r3 weak #6) and the saved chip
+    time funds the train-step measurement. Set KMUNET_BENCH_IMPL=fused to
+    re-measure the fused chain.
     """
-    pin = os.environ.get("KMUNET_BENCH_IMPL")
-    if pin:
-        return measure(pin), pin
-    results, errors = {}, {}
-    for impl in ("fused", "separate"):
-        try:
-            results[impl] = measure(impl)
-        except Exception as e:  # noqa: BLE001 - kernel/compile failure of one layout
-            errors[impl] = e
-    if not results:
-        raise next(iter(errors.values()))
-    best = max(results, key=results.get)
-    tag = best if not errors else f"{best} ({','.join(errors)} failed)"
-    return results[best], tag
+    impl = os.environ.get("KMUNET_BENCH_IMPL", "separate")
+    return measure(impl), impl
 
 
 def measure_train_step() -> dict:
@@ -283,6 +293,13 @@ def main():
         record["vim_impl"] = impl
     if fallback:
         record["fallback"] = fallback
+    # Training throughput is a first-class number (VERDICT r3 item 4): the
+    # reference's whole purpose is train_shanghai.py's loop. Folded into the
+    # same single JSON line (driver contract: ONE line on stdout).
+    try:
+        record.update(measure_train_step())
+    except Exception as e:  # noqa: BLE001 - never lose the fwd number to this
+        record["train_step_error"] = f"{type(e).__name__}: {e}"
     with open(HISTORY, "a") as f:
         f.write(json.dumps({**record, "honest": True, "ts": time.time()}) + "\n")
     print(json.dumps(record))

@@ -434,8 +434,8 @@ def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
     # tt*CgW = 1M elems -> 20.43M scoped stack > the 16M limit; the plain,
     # loop-free kernel fits 2M elems in the same window).
     CgW = Cg * W
-    budget = _VMEM_BUDGET_ELEMS // 2 if dt in (jnp.bfloat16, jnp.float16) \
-        else _VMEM_BUDGET_ELEMS // 4
+    budget = _VMEM_BUDGET_ELEMS if dt in (jnp.bfloat16, jnp.float16) \
+        else _VMEM_BUDGET_ELEMS // 2
     tt = 2048
     while tt * CgW > budget and tt > 128:
         tt //= 2
@@ -471,6 +471,8 @@ def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
 
     Cout = G * Cg if shared else C
     cspec = pl.BlockSpec((1, G, 1, tt, 1), lambda b, t: (b, 0, t, 0, 0))
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(_kernel_grouped, tt=tt, hs=H, w=W, cg=Cg, ng=G,
                           shared_src=shared),
@@ -481,6 +483,13 @@ def _forward_grouped(img, x, y, interpret, zeros=False, shared=False):
         out_specs=pl.BlockSpec((1, tt, Cout), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, ntt * tt, Cout), dt),
         interpret=interpret,
+        # The unrolled per-group loop keeps ~2 iterations' temporaries live
+        # on Mosaic's scoped stack; at G=13 (TrajGRU enc_rnn1) that
+        # overflows the default 16M scoped-vmem window no matter the tile
+        # size. Raise the window instead of shrinking tiles (v5e has 128M
+        # VMEM; small tiles multiply matmul count).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(r5(y0), r5(x0), r5(wy), r5(wx), m, src_cm)
     return out[:, :T].reshape(B, Ho, Wo, Cout)
 

@@ -264,8 +264,8 @@ def _bwd_kernel(x_ref, dt_ref, b_ref, c_ref, g_ref, a_ref, d_ref,
 
         @pl.when(j == n_chunks - 1)
         def _():
-            da_ref[0] = daacc_ref[0].astype(da_ref.dtype)
-            dd_ref[0] = ddacc_ref[0].astype(dd_ref.dtype)
+            da_ref[0] = daacc_ref[...].astype(da_ref.dtype)
+            dd_ref[0] = ddacc_ref[...].astype(dd_ref.dtype)
 
 
 def _pick_chunk_bwd(L: int, DN: int) -> int:
@@ -313,16 +313,22 @@ def _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret):
             pl.BlockSpec((1, Q, D), fwd_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, N), fwd_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DN), lambda b, p, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b, p, j: (b, 0), memory_space=pltpu.VMEM),
+            # (B, 1, DN)/(B, 1, D) with a (1, 1, *) block: real-TPU lowering
+            # requires the block's last two dims be (8, 128)-divisible OR
+            # equal to the array dims — a (1, DN) block on a (B, DN) array
+            # violates that (caught on first silicon contact, round 4).
+            pl.BlockSpec((1, 1, DN), lambda b, p, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, p, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), x.dtype),
             jax.ShapeDtypeStruct((B, L, D), dt.dtype),
             jax.ShapeDtypeStruct((B, L, N), Bmat.dtype),
             jax.ShapeDtypeStruct((B, L, N), Cmat.dtype),
-            jax.ShapeDtypeStruct((B, DN), jnp.float32),
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, DN), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, DN), jnp.float32),         # fwd carry
@@ -333,8 +339,8 @@ def _backward(x, dt, A, Bmat, Cmat, Dp, g, interpret):
         ],
         interpret=interpret,
     )(x, dt, Bmat, Cmat, g, a_flat, d_row)
-    dA = jnp.sum(da, axis=0).reshape(D, N).astype(A.dtype)
-    dD = jnp.sum(dd, axis=0).astype(Dp.dtype)
+    dA = jnp.sum(da[:, 0], axis=0).reshape(D, N).astype(A.dtype)
+    dD = jnp.sum(dd[:, 0], axis=0).astype(Dp.dtype)
     return dx, ddt, dA, db, dc, dD
 
 

@@ -37,10 +37,24 @@ def chained_time_ms(apply_fn: Callable, *xs, iters: int = 50) -> float:
     @jax.jit
     def run(*xs):
         def body(i, c):
-            y = apply_fn(*[x * (1.0 + 1e-20 * c) for x in xs])
-            return c + jnp.mean(
-                y.astype(jnp.float32) if hasattr(y, "astype") else jnp.float32(0)
-            )
+            # args and result may be pytrees (lists of feature maps, param
+            # dicts): perturb ONE floating leaf per top-level arg (so a
+            # params tree doesn't add a full-tree multiply to every timed
+            # iteration), reduce over all floating output leaves.
+            def perturb(arg):
+                leaves, treedef = jax.tree.flatten(arg)
+                for j, leaf in enumerate(leaves):
+                    if hasattr(leaf, "dtype") and jnp.issubdtype(
+                            leaf.dtype, jnp.floating):
+                        leaves[j] = leaf * (1.0 + 1e-20 * c).astype(leaf.dtype)
+                        break
+                return jax.tree.unflatten(treedef, leaves)
+
+            y = apply_fn(*[perturb(x) for x in xs])
+            leaves = [jnp.mean(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(y)
+                      if jnp.issubdtype(l.dtype, jnp.floating)]
+            return c + sum(leaves) / max(len(leaves), 1)
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
