@@ -39,8 +39,21 @@ Precision: matmuls run at native MXU bf16; the fast path therefore only
 engages for bf16/f16 inputs (f32 callers keep the bit-exact XLA path — the
 MXU rounds f32 operands to bf16, and requesting Precision.HIGHEST in-kernel
 stalls the Mosaic compile on the live toolchain).
-Backward: custom VJP recomputes through the XLA formulation (scatter-add
-grads), so training semantics are unchanged.
+Backward: a transposed Pallas kernel of the same formulation — the forward
+is linear in the source, so its transpose is scatter-free too:
+
+    d_src_cm += wyrow^T (H, TT) @ ((g @ m^T) * wsel)    # per tile, accumulated
+    d_wx[p]   = sum_k s1[p,k]  * repeat(dwxrow)[p,k] * gexp[p,k]
+    d_wy[p]   = sum_k ds1[p,k] * wsel[p,k]           * gexp[p,k]
+
+with dwxrow = eq(x0+1) - eq(x0) (the tap rows' derivative) and ds1 the
+row-interp of src against dwyrow. Two extra MXU matmuls + row reductions
+per tile; d_src accumulates in an f32 VMEM block revisited across the tile
+grid (TPU grids iterate sequentially). The XLA scatter-add VJP remains the
+fallback for f32/CPU. Boundary note: at coords EXACTLY on the border-clamp
+edge (x == W-1) the duplicated-border XLA patches give d_wx = 0 while the
+tap formulation gives the one-sided derivative — a measure-zero
+disagreement in a subgradient both choices are valid for.
 """
 
 from __future__ import annotations
@@ -164,6 +177,99 @@ def _kernel_grouped(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
         out_ref[0, :, g * cg:(g + 1) * cg] = out_g.astype(dt)
 
 
+def _kernel_bwd(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, g_ref,
+                dsrc_ref, dwx_ref, dwy_ref, *, tt, hs, w, cg, ng,
+                shared_src=False):
+    """Transposed gather: d_src / d_wx / d_wy for ALL variants (plain is
+    ng=1). Same tap-row formulation as the forward, so the transpose is
+    three MXU matmuls per group-tile and NO scatter:
+
+        gexp = g_blk @ m^T            # (tt, cg*W): d_out spread to c-major
+        dsrc += wyrow^T @ (gexp*wsel) # accumulated over the tile grid
+        dwx   = rowsum(s1  * repeat(dwxrow) * gexp)
+        dwy   = rowsum(ds1 * wsel            * gexp)
+
+    with dwxrow/dwyrow = eq(·, x0+1) - eq(·, x0) (the weight rows'
+    derivative wrt the fractional tap) and ds1 = dwyrow @ src. d_src
+    accumulates in an f32 output block revisited across the sequentially-
+    iterated tile dimension; coordinate grads are reduced in f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = src_ref.dtype
+    t_idx = pl.program_id(1)
+    src = src_ref[0]             # (H, C*W) channel-major lanes
+    m = m_ref[...]               # (cg*W, cg)
+
+    def eqf(ia, ib):
+        return jnp.maximum(1 - jnp.abs(ia - ib), 0).astype(jnp.float32)
+
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    ih = jax.lax.broadcasted_iota(jnp.int32, (tt, hs), 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 1)
+    acc = None  # multiview: all views accumulate into ONE full-width d_src
+    for g in range(ng):
+        y0 = y0_ref[0, g, 0]     # (tt, 1) i32
+        x0 = x0_ref[0, g, 0]
+        wy = wy_ref[0, g, 0]
+        wx = wx_ref[0, g, 0]
+        y0b = jnp.broadcast_to(y0, (tt, hs))
+        wyb = jnp.broadcast_to(wy, (tt, hs)).astype(jnp.float32)
+        e0y, e1y = eqf(ih, y0b), eqf(ih, y0b + 1)
+        wyrow = (e0y * (1.0 - wyb) + e1y * wyb).astype(dt)
+        dwyrow = (e1y - e0y).astype(dt)
+        x0b = jnp.broadcast_to(x0, (tt, w))
+        wxb = jnp.broadcast_to(wx, (tt, w)).astype(jnp.float32)
+        e0x, e1x = eqf(iw, x0b), eqf(iw, x0b + 1)
+        wxrow = (e0x * (1.0 - wxb) + e1x * wxb).astype(dt)
+        dwxrow = (e1x - e0x).astype(dt)
+        wsel = pltpu.repeat(wxrow, cg, axis=1)          # (tt, cg*W)
+        dwsel = pltpu.repeat(dwxrow, cg, axis=1)
+
+        # d_out spread back to c-major lanes: gexp[p, c*W+x] = g[p, c].
+        gexp = jax.lax.dot_general(
+            g_ref[0, :, g * cg:(g + 1) * cg], m,
+            (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(dt)
+
+        part = jax.lax.dot_general(                      # (hs, cg*W) f32
+            wyrow, gexp * wsel, (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        off = 0 if shared_src else g * cg * w
+        if shared_src:
+            acc = part if acc is None else acc + part
+        else:
+
+            @pl.when(t_idx == 0)
+            def _():
+                dsrc_ref[0, :, off:off + cg * w] = part
+
+            @pl.when(t_idx != 0)
+            def _():
+                dsrc_ref[0, :, off:off + cg * w] += part
+
+        src_g = src if shared_src else src[:, off:off + cg * w]
+        s1f = jax.lax.dot_general(wyrow, src_g, (((1,), (0,)), ((), ())),
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
+        ds1f = jax.lax.dot_general(dwyrow, src_g, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=jnp.float32)
+        gsel = (gexp * wsel).astype(jnp.float32)
+        gdsel = (gexp * dwsel).astype(jnp.float32)
+        dwx_ref[0, g] = jnp.sum(s1f * gdsel, axis=1, keepdims=True)
+        dwy_ref[0, g] = jnp.sum(ds1f * gsel, axis=1, keepdims=True)
+
+    if shared_src:
+
+        @pl.when(t_idx == 0)
+        def _():
+            dsrc_ref[0] = acc
+
+        @pl.when(t_idx != 0)
+        def _():
+            dsrc_ref[0] += acc
+
+
 def supported(img_shape, dtype, interpret: bool = False) -> bool:
     """Fast path only for 16-bit dtypes on TPU (or interpret for tests).
 
@@ -238,10 +344,127 @@ def _make_partitioned(impl, coords_rank: int, sharding_rule: str,
     return op
 
 
-def _make_gather_op(partitioned_getter, xla_reference):
+def _backward_impl(img, x, y, g, interpret, zeros, shared):
+    """Host wrapper for ``_kernel_bwd``: coords are (B, G, Ho, Wo) — plain
+    callers pass G=1. Returns (d_img NHWC, d_x, d_y) where the coordinate
+    grads are wrt the CLIPPED coords; the custom-vjp wrapper chains the
+    border clamp outside (matching the XLA reference's ``jnp.clip`` vjp).
+    Same prep as the forwards; d_src accumulates f32 and is cast at the end.
+    """
+    B, H, W, C = img.shape
+    G = x.shape[1]
+    Cg = C if shared else C // G
+    Ho, Wo = x.shape[2:4]
+    WC = W * C
+    T = Ho * Wo
+    dt = img.dtype
+    CgW = Cg * W
+
+    # The bwd holds ~2x the forward's per-tile temporaries (two f32
+    # row-interp results + gexp/wsel products): halve the tile budget.
+    budget = (_VMEM_BUDGET_ELEMS // 2 if dt in (jnp.bfloat16, jnp.float16)
+              else _VMEM_BUDGET_ELEMS // 4)
+    tt = 2048
+    while tt * CgW > budget and tt > 128:
+        tt //= 2
+    while tt > 128 and tt // 2 >= T:
+        tt //= 2
+    tpad = (-T) % tt
+    ntt = (T + tpad) // tt
+
+    if zeros:
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
+    else:
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dt).reshape(B, G, T)
+    wy = (y - y0).astype(dt).reshape(B, G, T)
+    x0 = x0.astype(jnp.int32).reshape(B, G, T)
+    y0 = y0.astype(jnp.int32).reshape(B, G, T)
+    Cout = G * Cg if shared else C
+    g2 = g.reshape(B, T, Cout)
+    if tpad:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, tpad)))  # noqa: E731
+        x0, y0, wx, wy = pad(x0), pad(y0), pad(wx), pad(wy)
+        g2 = jnp.pad(g2, ((0, 0), (0, tpad), (0, 0)))  # zero rows: no effect
+
+    m = (
+        jax.lax.broadcasted_iota(jnp.int32, (CgW, Cg), 0) // W
+        == jax.lax.broadcasted_iota(jnp.int32, (CgW, Cg), 1)
+    ).astype(dt)
+    r5 = lambda a: a.reshape(B, G, ntt, tt, 1)  # noqa: E731
+    src_cm = img.transpose(0, 1, 3, 2).reshape(B, H, WC)
+
+    cspec = pl.BlockSpec((1, G, 1, tt, 1), lambda b, t: (b, 0, t, 0, 0))
+    ospec = pl.BlockSpec((1, G, tt, 1), lambda b, t: (b, 0, t, 0))
+    from jax.experimental.pallas import tpu as pltpu
+
+    dsrc_cm, dwx, dwy = pl.pallas_call(
+        functools.partial(_kernel_bwd, tt=tt, hs=H, w=W, cg=Cg, ng=G,
+                          shared_src=shared),
+        grid=(B, ntt),
+        in_specs=[cspec, cspec, cspec, cspec,
+                  pl.BlockSpec((CgW, Cg), lambda b, t: (0, 0)),
+                  pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0)),
+                  pl.BlockSpec((1, tt, Cout), lambda b, t: (b, t, 0))],
+        out_specs=[pl.BlockSpec((1, H, WC), lambda b, t: (b, 0, 0)),
+                   ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, WC), jnp.float32),
+                   jax.ShapeDtypeStruct((B, G, ntt * tt, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, G, ntt * tt, 1), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(r5(y0), r5(x0), r5(wy), r5(wx), m, src_cm, g2)
+
+    d_img = dsrc_cm.reshape(B, H, C, W).transpose(0, 1, 3, 2).astype(dt)
+    d_x = dwx[:, :, :T, 0].reshape(B, G, Ho, Wo)
+    d_y = dwy[:, :, :T, 0].reshape(B, G, Ho, Wo)
+    return d_img, d_x, d_y
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_backward(interpret: bool, zeros: bool, shared: bool):
+    """Batch-sharded custom_partitioning for the Pallas backward: every
+    non-batch factor is need-replication (a spatially-sharded caller
+    all-gathers rows, computes the full d_img per shard, and keeps it
+    replicated — correct, and 'data' is the only axis our mesh layouts
+    shard activations over in training)."""
+    impl = lambda img, x, y, g: _backward_impl(  # noqa: E731
+        img, x, y, g, interpret, zeros, shared)
+    op = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _norm_spec(arg_shapes[0].sharding.spec, 4)[0]
+        im = NamedSharding(mesh, P(b, None, None, None))
+        co = NamedSharding(mesh, P(b, None, None, None))
+        return mesh, impl, (im, co, co), (im, co, co, im)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        b = _norm_spec(arg_shapes[0].sharding.spec, 4)[0]
+        im = NamedSharding(mesh, P(b, None, None, None))
+        co = NamedSharding(mesh, P(b, None, None, None))
+        return (im, co, co)
+
+    op.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b h w c, b g i j, b g i j, b i j k "
+                      "-> b h w c, b g i j, b g i j",
+        need_replication_factors=("h", "w", "g", "i", "j", "k", "c"),
+    )
+    return op
+
+
+def _make_gather_op(partitioned_getter, xla_reference, shared=False):
     """custom_vjp wrapper shared by the plain/grouped/multiview variants:
     forward through the partitioned Pallas op, backward through the
-    matching non-dispatching XLA formulation (scatter-add grads)."""
+    transposed Pallas kernel (``_kernel_bwd``) when the fast path is
+    eligible, else through the matching non-dispatching XLA formulation
+    (scatter-add grads)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
     def op(img, x, y, interpret, zeros):
@@ -253,6 +476,24 @@ def _make_gather_op(partitioned_getter, xla_reference):
 
     def bwd(interpret, zeros, res, g):
         img, x, y = res
+        if supported(img.shape, img.dtype, interpret):
+            B, H, W, C = img.shape
+            x4 = x if x.ndim == 4 else x[:, None]
+            y4 = y if y.ndim == 4 else y[:, None]
+            d_img, d_x, d_y = _partitioned_backward(
+                bool(interpret), bool(zeros), bool(shared))(img, x4, y4, g)
+            if x.ndim == 3:
+                d_x, d_y = d_x[:, 0], d_y[:, 0]
+            if not zeros:
+                # Chain the border clamp exactly as the XLA reference's vjp
+                # does (d_x there flows through jnp.clip; zeros mode has no
+                # clamp in the reference, and the kernel's sentinel clip has
+                # zero-weight taps throughout its clipped range).
+                _, vx = jax.vjp(lambda a: jnp.clip(a, 0.0, W - 1), x)
+                _, vy = jax.vjp(lambda a: jnp.clip(a, 0.0, H - 1), y)
+                d_x = vx(d_x.astype(x.dtype))[0]
+                d_y = vy(d_y.astype(y.dtype))[0]
+            return d_img, d_x.astype(x.dtype), d_y.astype(y.dtype)
         mode = "zeros" if zeros else "border"
         _, vjp = jax.vjp(
             lambda i, xx, yy: xla_reference(i, xx, yy, padding_mode=mode),
@@ -556,7 +797,7 @@ def _partitioned_forward_multiview(interpret: bool, zeros: bool):
 
 
 _gather_bilinear_multiview = _make_gather_op(
-    _partitioned_forward_multiview, _xla_reference_multiview)
+    _partitioned_forward_multiview, _xla_reference_multiview, shared=True)
 
 
 def gather_bilinear_multiview(img, x, y, zeros=False, interpret=False):
