@@ -51,9 +51,11 @@ row-interp of src against dwyrow. Two extra MXU matmuls + row reductions
 per tile; d_src accumulates in an f32 VMEM block revisited across the tile
 grid (TPU grids iterate sequentially). The XLA scatter-add VJP remains the
 fallback for f32/CPU. Boundary note: at coords EXACTLY on the border-clamp
-edge (x == W-1) the duplicated-border XLA patches give d_wx = 0 while the
-tap formulation gives the one-sided derivative — a measure-zero
-disagreement in a subgradient both choices are valid for.
+edge (x == W-1) the duplicated-border XLA reference gives d_wx = 0; the raw
+tap formulation would give -src[edge]*g (the zeros-extension derivative,
+which is NOT a valid subgradient of the clamped sampler — exact-integer /
+align-corner grids hit the edge deterministically), so ``_backward_impl``
+masks the coordinate grads to 0 where x0 lands on the last pixel.
 """
 
 from __future__ import annotations
@@ -423,6 +425,18 @@ def _backward_impl(img, x, y, g, interpret, zeros, shared):
     d_img = dsrc_cm.reshape(B, H, C, W).transpose(0, 1, 3, 2).astype(dt)
     d_x = dwx[:, :, :T, 0].reshape(B, G, Ho, Wo)
     d_y = dwy[:, :, :T, 0].reshape(B, G, Ho, Wo)
+    if not zeros:
+        # Coords EXACTLY on the border-clamp edge (x == W-1 -> x0 == W-1,
+        # wx == 0): the XLA reference duplicates the edge tap (x1 clamped to
+        # W-1), so its coordinate derivative is src[x1]-src[x0] == 0. The
+        # kernel's eq(x0+1) row is all-zero there instead, yielding the
+        # zeros-extension derivative -src[edge]*g — NOT a valid subgradient
+        # of the clamped sampler (one-sided derivatives bracket 0 only from
+        # the inside). Mask to the reference's 0. x0 == W-1 is reachable
+        # only at the exact edge, so interior integer coords keep their
+        # two-sided src[x0+1]-src[x0] derivative.
+        d_x = jnp.where(x0[:, :, :T].reshape(B, G, Ho, Wo) >= W - 1, 0, d_x)
+        d_y = jnp.where(y0[:, :, :T].reshape(B, G, Ho, Wo) >= H - 1, 0, d_y)
     return d_img, d_x, d_y
 
 
@@ -454,7 +468,11 @@ def _partitioned_backward(interpret: bool, zeros: bool, shared: bool):
         infer_sharding_from_operands=infer_sharding,
         sharding_rule="b h w c, b g i j, b g i j, b i j k "
                       "-> b h w c, b g i j, b g i j",
-        need_replication_factors=("h", "w", "g", "i", "j", "k", "c"),
+        # Factor order MUST match declaration order in the sharding_rule
+        # ('b h w c, b g i j, ... k') — shardy rejects unsorted special
+        # factor indices at lowering ('indices of special factors must be
+        # sorted'), which crashed jax.grad through any sharded Pallas gather.
+        need_replication_factors=("h", "w", "c", "g", "i", "j", "k"),
     )
     return op
 

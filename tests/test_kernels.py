@@ -366,6 +366,74 @@ class TestBilinearPallasSharded:
 
         self._run(rng, MeshSpec(2, 4, 1))
 
+    def test_sharded_grad_matches_xla_vjp(self, rng):
+        """ADVICE r4 (low/high): jax.grad THROUGH ``_partitioned_backward``
+        on the sharded mesh — the path that crashed at lowering when the
+        backward's need_replication_factors were not in sharding-rule
+        declaration order ('indices of special factors must be sorted')."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+        from kmunet_tpu.parallel import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(4, 2, 1))
+        B, H, W, C, Ho, Wo = 4, 8, 8, 4, 16, 16
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        x = jnp.asarray(
+            rng.uniform(-1.0, W + 1.0, (B, Ho, Wo)).astype(np.float32))
+        y = jnp.asarray(
+            rng.uniform(-1.0, H + 1.0, (B, Ho, Wo)).astype(np.float32))
+        img_sh = jax.device_put(
+            img, NamedSharding(mesh, P("data", None, None, None)))
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("data", "spatial", None)))
+        y_sh = jax.device_put(y, NamedSharding(mesh, P("data", "spatial", None)))
+
+        def loss_pallas(i, a, b):
+            return jnp.sum(jnp.sin(gather_bilinear_border(i, a, b, True)))
+
+        def loss_xla(i, a, b):
+            return jnp.sum(
+                jnp.sin(bilinear_gather(i, a, b, padding_mode="border")))
+
+        got = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(
+            img_sh, x_sh, y_sh)
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(img, x, y)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+class TestBilinearBorderEdgeGradient:
+    """ADVICE r4 (medium): at coords EXACTLY on the border-clamp edge the
+    coordinate gradient must be the XLA duplicated-edge-tap derivative (0),
+    not the zeros-extension -src[edge]*g; interior exact-integer coords keep
+    their two-sided src[x0+1]-src[x0] derivative."""
+
+    def test_exact_edge_and_interior_integer_coords(self, rng):
+        from kmunet_tpu.kernels.bilinear_pallas import gather_bilinear_border
+        from kmunet_tpu.ops.sample import bilinear_gather
+
+        B, H, W, C = 1, 6, 8, 3
+        img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+        # Row 0: exact edge (W-1, H-1); row 1: interior integers; row 2:
+        # fractional interior — all deterministic hits, not measure-zero.
+        x = jnp.asarray([[[7.0, 7.0], [3.0, 5.0], [2.25, 4.75]]], jnp.float32)
+        y = jnp.asarray([[[5.0, 5.0], [2.0, 4.0], [1.5, 3.5]]], jnp.float32)
+
+        def loss_pallas(a, b):
+            return jnp.sum(jnp.cos(gather_bilinear_border(img, a, b, True)))
+
+        def loss_xla(a, b):
+            return jnp.sum(
+                jnp.cos(bilinear_gather(img, a, b, padding_mode="border")))
+
+        gx, gy = jax.grad(loss_pallas, argnums=(0, 1))(x, y)
+        wx, wy = jax.grad(loss_xla, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(wy), atol=1e-5)
+        # The edge points specifically must be exactly zero.
+        assert gx[0, 0, 0] == 0.0 and gy[0, 0, 0] == 0.0
+
 
 class TestBilinearPallasBackwardNoRecursion:
     """The kernel's custom VJP must differentiate the PURE-XLA gather, not
