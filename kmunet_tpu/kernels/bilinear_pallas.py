@@ -72,6 +72,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 # ~16 MB scoped window together with src and the constants.
 _VMEM_BUDGET_ELEMS = 1 << 20  # TT * W*C <= 1M  (3 x 4 MB f32)
 
+# Backward dispatch: None = auto (Pallas transposed kernel wherever the
+# forward fast path is eligible), False = always the XLA scatter-add VJP,
+# True = force. Exists so the A/B that caught the round-4 train-step
+# regression (320 -> 786 ms with the Pallas backward default-on, never
+# measured on silicon before landing) stays one flag flip.
+USE_PALLAS_BACKWARD: bool | None = None
+
 
 def _kernel(y0_ref, x0_ref, wy_ref, wx_ref, m_ref, src_ref, out_ref,
             *, tt, hs, w, c):
@@ -494,7 +501,12 @@ def _make_gather_op(partitioned_getter, xla_reference, shared=False):
 
     def bwd(interpret, zeros, res, g):
         img, x, y = res
-        if supported(img.shape, img.dtype, interpret):
+        use = USE_PALLAS_BACKWARD
+        if use is None:
+            use = supported(img.shape, img.dtype, interpret)
+        elif use and not supported(img.shape, img.dtype, interpret):
+            use = False  # forced-on still needs kernel eligibility
+        if use:
             B, H, W, C = img.shape
             x4 = x if x.ndim == 4 else x[:, None]
             y4 = y if y.ndim == 4 else y[:, None]

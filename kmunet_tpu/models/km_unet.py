@@ -55,7 +55,8 @@ class StableHybridKANConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_c = x.shape[-1]
-        x = nn.GroupNorm(num_groups=4, name="pre_norm")(x)
+        # epsilon=1e-5 matches torch GroupNorm (flax defaults to 1e-6).
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="pre_norm")(x)
         if in_c != self.features:
             identity = nn.Conv(
                 self.features, (1, 1), kernel_init=kaiming_normal_fanout(),
@@ -256,7 +257,7 @@ class KM_UNetV3(nn.Module):
             self.num_classes, (3, 3), padding="SAME",
             kernel_init=kaiming_uniform_torch(), name="head",
         )(d)
-        d = nn.GroupNorm(num_groups=1, name="output_norm")(d)
+        d = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="output_norm")(d)
         return jax.nn.sigmoid(d)
 
 

@@ -67,9 +67,10 @@ class TripleNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h_norm = nn.GroupNorm(num_groups=1, name="norm_h")(x)
-        w_norm = nn.GroupNorm(num_groups=1, name="norm_w")(x)
-        c_norm = nn.LayerNorm(name="norm_c")(x)
+        # epsilon=1e-5 matches the torch norm default (flax uses 1e-6).
+        h_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_h")(x)
+        w_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_w")(x)
+        c_norm = nn.LayerNorm(epsilon=1e-5, name="norm_c")(x)
         return (h_norm + w_norm + c_norm) / 3.0
 
 
@@ -92,7 +93,7 @@ class MultiScaleFusion(nn.Module):
                 out_c, (s, s), padding=s // 2,
                 kernel_init=kaiming_uniform_torch(), name=f"branch{i}",
             )(feat)
-            y = nn.GroupNorm(num_groups=1)(y)
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5)(y)  # torch eps
             resized.append(jax.nn.silu(y))
         fused = jnp.concatenate(resized, axis=-1)
         fused = nn.Conv(out_c, (1, 1), kernel_init=kaiming_uniform_torch())(fused)

@@ -64,7 +64,7 @@ class FastKANLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        xn = nn.LayerNorm(name="layernorm")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, name="layernorm")(x)
         grid = jnp.linspace(self.grid_min, self.grid_max, self.num_grids)
         denom = (self.grid_max - self.grid_min) / (self.num_grids - 1)
         basis = jnp.exp(-(((xn[..., None] - grid) / denom) ** 2))
@@ -119,7 +119,7 @@ class FasterKANLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        xn = nn.LayerNorm(name="layernorm")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, name="layernorm")(x)
         grid = jnp.linspace(self.grid_min, self.grid_max, self.num_grids)
         basis = _rswaf(xn, grid, self.inv_denominator)
         basis = basis.reshape(*x.shape[:-1], in_dim * self.num_grids)
@@ -163,7 +163,7 @@ class GRAMLayer(nn.Module):
             polys.append(xt * polys[-1] - beta * polys[-2])
         grams = self.act(jnp.stack(polys, axis=-1))
         y = jnp.einsum("...ld,lod->...o", grams, gram_w)
-        y = nn.LayerNorm(name="norm")(y + basis)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y + basis)
         return self.act(y)
 
 
@@ -247,7 +247,7 @@ class JacobiKANLayer(nn.Module):
             polys.append((t_k * xt + t_k1) * polys[-1] - t_k2 * polys[-2])
         jacobi = jnp.stack(polys, axis=-1)
         y = jnp.einsum("...id,iod->...o", jacobi, coeffs)
-        return self.act(nn.LayerNorm(name="norm")(y + basis))
+        return self.act(nn.LayerNorm(epsilon=1e-5, name="norm")(y + basis))
 
 
 class ReLUKANLayer(nn.Module):

@@ -39,10 +39,21 @@ def _haar_filters(dtype) -> jnp.ndarray:
     return jnp.stack([ll, lh, hl, hh], axis=-1)[:, :, None, :]  # (2,2,1,4)
 
 
-def haar_dwt2d(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def haar_dwt2d(
+    x: jnp.ndarray, quirk_edge_zero: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-level 2D Haar DWT of an NHWC tensor with even H and W.
 
     Returns (LL, LH, HL, HH), each ``(B, H//2, W//2, C)``.
+
+    ``quirk_edge_zero`` replicates a load-bearing off-by-one in the
+    reference's banded-matrix build (`WPL/iwp.py:79`): the high-pass matrix
+    row loop runs ``range(L1 - L - 1)``, leaving its LAST row all-zero, so
+    the reference's high-pass output along each axis is zero at the final
+    band — LH's last column, HL's last row, and both for HH (verified
+    against the reference DWT_2D itself,
+    tests/test_reference_parity_flagship.py). Pass False for the clean
+    orthonormal filter bank (energy-preserving).
     """
     B, H, W, C = x.shape
     if H % 2 or W % 2:
@@ -60,4 +71,13 @@ def haar_dwt2d(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, j
         precision=lax.Precision.HIGHEST,
     )
     y = y.reshape(B, H // 2, W // 2, C, 4)
-    return y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+    LL, LH, HL, HH = y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+    if quirk_edge_zero:
+        # Multiplicative masks (not .at[].set) so the op stays one fused
+        # elementwise epilogue after the conv under XLA.
+        col = (jnp.arange(W // 2) < W // 2 - 1).astype(x.dtype)[None, None, :, None]
+        row = (jnp.arange(H // 2) < H // 2 - 1).astype(x.dtype)[None, :, None, None]
+        LH = LH * col
+        HL = HL * row
+        HH = HH * row * col
+    return LL, LH, HL, HH

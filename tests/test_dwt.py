@@ -1,5 +1,12 @@
 """Haar DWT parity vs a numpy re-derivation of the reference's banded-matrix
-construction (WPL/iwp.py:20-26,58-103) on square even inputs."""
+construction (WPL/iwp.py:20-26,58-103) on square even inputs.
+
+The oracle replicates the reference's off-by-one: the high-pass matrix row
+loop runs ``range(L1 - L - 1)`` (iwp.py:79), so its last row is all-zero —
+LH's last column, HL's last row and both of HH vanish. (The original oracle
+here missed that; tests/test_reference_parity_flagship.py now pins it
+against the reference's own DWT_2D.)
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -15,6 +22,7 @@ def reference_matrices(n):
     high = np.zeros((n // 2, n))
     for i in range(n // 2):
         low[i, 2 * i : 2 * i + 2] = [S2, S2]
+    for i in range(n // 2 - 1):  # last row left zero (iwp.py:79)
         high[i, 2 * i : 2 * i + 2] = [S2, -S2]
     return low, high
 
@@ -37,8 +45,10 @@ def test_haar_matches_matrix_formulation(rng):
             np.testing.assert_allclose(np.asarray(HH)[b, :, :, c], Hh @ high1.T, atol=1e-4)
 
 
-def test_haar_energy_preserved(rng):
+def test_haar_energy_preserved_clean_bank(rng):
+    """The clean (quirk-free) bank is orthonormal; the reference-quirk
+    default drops the last high band so it is NOT energy preserving."""
     x = rng.normal(size=(1, 32, 32, 2)).astype(np.float32)
-    subs = haar_dwt2d(jnp.asarray(x))
+    subs = haar_dwt2d(jnp.asarray(x), quirk_edge_zero=False)
     energy = sum(float(jnp.sum(s**2)) for s in subs)
     np.testing.assert_allclose(energy, float(np.sum(x**2)), rtol=1e-5)
