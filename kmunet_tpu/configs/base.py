@@ -131,7 +131,17 @@ def _set_dotted(cfg, dotted: str, raw: str):
     obj = cfg
     *path, leaf = dotted.split(".")
     for p in path:
-        obj = getattr(obj, p)
+        obj = obj[p] if isinstance(obj, dict) else getattr(obj, p)
+    if isinstance(obj, dict):
+        # dict leaves (e.g. --model.extra.drop_path=0.0): no existing value
+        # to infer a type from — literal-eval, falling back to string.
+        import ast
+
+        try:
+            obj[leaf] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            obj[leaf] = raw
+        return
     current = getattr(obj, leaf)
     if isinstance(current, bool):
         value = raw.lower() in ("1", "true", "yes")

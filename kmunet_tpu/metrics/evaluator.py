@@ -92,6 +92,7 @@ class Evaluator:
 
     def reset(self):
         self._cont = np.zeros((len(self.thresholds), 4), np.int64)
+        self._cont_t = np.zeros((len(self.thresholds), self.seq_len, 4), np.int64)
         self._mse: list[np.ndarray] = []
         self._ssim: list[np.ndarray] = []
         self._mae: list[np.ndarray] = []
@@ -105,6 +106,7 @@ class Evaluator:
         out = batch_metrics(true, pred, self.thresholds, self.value_scale)
         cont = np.asarray(out["cont"])  # (n_thr, B, T, 4)
         self._cont += cont.sum(axis=(1, 2)).astype(np.int64)
+        self._cont_t += cont.sum(axis=1).astype(np.int64)
         self._mse.append(np.asarray(out["mse"]))
         self._ssim.append(np.asarray(out["ssim"]))
         self._mae.append(np.asarray(out["mae"]))
@@ -151,3 +153,24 @@ class Evaluator:
                 else "needs weights (--data.lpips_weights=<npz>, see metrics/lpips.py)"
             ),
         }
+
+    def per_horizon(self) -> dict:
+        """Per-forecast-frame breakdown (not part of the reference surface;
+        added for the round-5 late-horizon-collapse root-cause): CSI / POD /
+        FAR per output frame t at each threshold, plus per-t RMSE and SSIM."""
+        out: dict = {"thresholds": {}}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i, thr in enumerate(self.thresholds):
+                TP, FN, FP, TN = (self._cont_t[i, :, j].astype(np.float64)
+                                  for j in range(4))
+                out["thresholds"][thr] = {
+                    "CSI": (TP / (TP + FP + FN)).tolist(),
+                    "POD": (TP / (TP + FN)).tolist(),
+                    "FAR": (FP / (TP + FP)).tolist(),
+                }
+        if self._mse:
+            mse = np.concatenate(self._mse, axis=0)      # (N, T)
+            out["RMSE"] = np.sqrt(mse.mean(axis=0)).tolist()
+        if self._ssim:
+            out["SSIM"] = np.concatenate(self._ssim, axis=0).mean(axis=0).tolist()
+        return out

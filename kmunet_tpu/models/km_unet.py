@@ -191,6 +191,10 @@ class KM_UNetV3(nn.Module):
     num_classes: int = 20
     embed_dims: Sequence[int] = (16, 32, 64)
     variant: str = "sh"
+    # Round-5 quality-ablation knobs (reference defaults; the scoreboard
+    # root-cause sweep flips them one at a time — BASELINE.md round 5):
+    drop_path: float = 0.1     # EnhancedViMBlock stochastic depth (ref :127)
+    head_norm: bool = True     # GroupNorm(1) before the sigmoid head (:449)
 
     def _up2(self, x, name):
         if self.variant == "sh":
@@ -211,7 +215,8 @@ class KM_UNetV3(nn.Module):
         # Encoder: StableHybridKANConv -> EnhancedViMBlock -> IWP, then LCA.
         def enc(x, c, i):
             x = StableHybridKANConv(c, name=f"enc{i}_kan")(x)
-            x = EnhancedViMBlock(state_dim=16, name=f"enc{i}_vim")(x, train)
+            x = EnhancedViMBlock(state_dim=16, drop_path=self.drop_path,
+                                 name=f"enc{i}_vim")(x, train)
             x = IntelligentWaveletPooling(name=f"enc{i}_iwp")(x)
             return LocalContrastAttention(name=f"lca{i}")(x)
 
@@ -242,7 +247,8 @@ class KM_UNetV3(nn.Module):
             d1_, (3, 3), padding="SAME", kernel_init=kaiming_uniform_torch(),
             name="dec2_conv",
         )(d)
-        d = EnhancedViMBlock(state_dim=16, name="dec2_vim")(d, train)
+        d = EnhancedViMBlock(state_dim=16, drop_path=self.drop_path,
+                             name="dec2_vim")(d, train)
 
         d = jnp.concatenate([d, skip_attn(d, "attention2")], axis=-1)
 
@@ -252,12 +258,13 @@ class KM_UNetV3(nn.Module):
             d0, (3, 3), padding="SAME", kernel_init=kaiming_uniform_torch(),
             name="dec3_conv",
         )(d)
-        d = EnhancedViMBlock(name="dec3_vim")(d, train)
+        d = EnhancedViMBlock(drop_path=self.drop_path, name="dec3_vim")(d, train)
         d = nn.Conv(
             self.num_classes, (3, 3), padding="SAME",
             kernel_init=kaiming_uniform_torch(), name="head",
         )(d)
-        d = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="output_norm")(d)
+        if self.head_norm:
+            d = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="output_norm")(d)
         return jax.nn.sigmoid(d)
 
 

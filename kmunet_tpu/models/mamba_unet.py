@@ -32,13 +32,19 @@ def _conv(f, k, name=None, padding="SAME", dilation=1):
 
 
 class DMFMLayer(nn.Module):
-    """Dual-view Mamba feature mixer (Mamba_UNet.py:8-58)."""
+    """Dual-view Mamba feature mixer (Mamba_UNet.py:8-58).
+
+    ``seq_mesh`` (optional jax.sharding.Mesh) activates the sequence-parallel
+    selective scan inside the MambaBlock (L = H*W tokens sharded over the
+    mesh's spatial axis; row-major flatten keeps H-sharding == L-sharding).
+    """
 
     output_dim: int
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
     group: int = 8
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -47,7 +53,7 @@ class DMFMLayer(nn.Module):
         norm = nn.LayerNorm(name="norm")
         mamba = MambaBlock(
             d_model=C, d_state=self.d_state, d_conv=self.d_conv,
-            expand=self.expand, name="mamba",
+            expand=self.expand, seq_mesh=self.seq_mesh, name="mamba",
         )
 
         x1 = norm(x.reshape(B, L, C))
@@ -138,6 +144,9 @@ class Mamba_UNet(nn.Module):
     predicted_frames: int = 3
     c_list: Sequence[int] = (8, 16, 24, 32, 48, 64)
     bridge: bool = True
+    # Optional jax.sharding.Mesh: runs every DMFM selective scan
+    # sequence-parallel (ppermute carries over the mesh's spatial axis).
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -151,7 +160,7 @@ class Mamba_UNet(nn.Module):
             return nn.gelu(y, approximate=False)
 
         def enc_dmfm(y, f, i):
-            y = DMFMLayer(output_dim=f, name=f"encoder{i}")(y)
+            y = DMFMLayer(output_dim=f, seq_mesh=self.seq_mesh, name=f"encoder{i}")(y)
             y = nn.GroupNorm(num_groups=4, name=f"ebn{i}")(y)
             if i < 6:
                 y = nn.max_pool(y, (2, 2), strides=(2, 2))
@@ -176,7 +185,7 @@ class Mamba_UNet(nn.Module):
         )(y)
 
         def dec_dmfm(y, f, i):
-            y = DMFMLayer(output_dim=f, name=f"decoder{i}")(y)
+            y = DMFMLayer(output_dim=f, seq_mesh=self.seq_mesh, name=f"decoder{i}")(y)
             return nn.GroupNorm(num_groups=4, name=f"dbn{i}")(y)
 
         out5 = nn.gelu(dec_dmfm(out, c[4], 1), approximate=False) + t5
@@ -195,10 +204,10 @@ class Mamba_UNet(nn.Module):
         y = nn.GroupNorm(num_groups=4, name="dbn6")(y)
         out0 = nn.gelu(up(y, c[0], "contr5"), approximate=False)
 
-        y = DMFMLayer(output_dim=c[1], name="refine1")(out0)
-        y = DMFMLayer(output_dim=c[2], name="refine2")(y)
-        y = DMFMLayer(output_dim=c[1], name="refine3")(y)
-        y = DMFMLayer(output_dim=c[0], name="refine4")(y)
+        y = DMFMLayer(output_dim=c[1], seq_mesh=self.seq_mesh, name="refine1")(out0)
+        y = DMFMLayer(output_dim=c[2], seq_mesh=self.seq_mesh, name="refine2")(y)
+        y = DMFMLayer(output_dim=c[1], seq_mesh=self.seq_mesh, name="refine3")(y)
+        y = DMFMLayer(output_dim=c[0], seq_mesh=self.seq_mesh, name="refine4")(y)
         y = nn.GroupNorm(num_groups=4, name="dbn7")(y)
         out0 = nn.gelu(y, approximate=False)
 

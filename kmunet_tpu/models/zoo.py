@@ -19,7 +19,7 @@ def build(model_cfg):
     extra = dict(model_cfg.extra)
     if name == "km_unet_v3":
         return KM_UNetV3(num_classes=n, embed_dims=tuple(model_cfg.embed_dims),
-                         variant=model_cfg.variant)
+                         variant=model_cfg.variant, **extra)
     if name == "smaat_unet":
         return SmaAt_UNet(n_classes=n, **extra)
     if name == "convlstm":

@@ -47,10 +47,18 @@ def _dt_bias_init(dt_min: float = 1e-3, dt_max: float = 0.1):
 
 
 class MambaBlock(nn.Module):
+    """``seq_mesh``: when set (a jax.sharding.Mesh), the selective scan runs
+    sequence-parallel via ``selective_scan_sharded`` — L sharded over
+    ``seq_axis`` with ppermute carry exchange, batch over ``batch_axis``
+    (SURVEY.md §5 long-context plan, active in-model)."""
+
     d_model: int
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
+    seq_mesh: object = None
+    seq_axis: str = "spatial"
+    batch_axis: str = "data"
 
     @nn.compact
     def __call__(self, x):
@@ -95,7 +103,14 @@ class MambaBlock(nn.Module):
         Dp = self.param("D", nn.initializers.ones, (d_inner,))
         A = -jnp.exp(A_log)
 
-        y = selective_scan(xc, dt, A, Bm, Cm, Dp)
+        if self.seq_mesh is not None:
+            from kmunet_tpu.ops.scan import selective_scan_sharded
+
+            y = selective_scan_sharded(
+                xc, dt, A, Bm, Cm, Dp, self.seq_mesh, axis=self.seq_axis,
+                batch_axis=self.batch_axis)
+        else:
+            y = selective_scan(xc, dt, A, Bm, Cm, Dp)
         y = y * jax.nn.silu(z)
         return nn.Dense(self.d_model, use_bias=False,
                         kernel_init=kaiming_uniform_torch(), name="out_proj")(y)

@@ -78,7 +78,8 @@ def _combine(left, right):
     return a2 * a1, a2 * b1 + b2
 
 
-def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial"):
+def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial",
+                           batch_axis: str | None = None):
     """Sequence-parallel selective scan: L sharded across a mesh axis.
 
     The reference cannot scale sequence length at all (SURVEY.md §5); here
@@ -92,7 +93,9 @@ def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial")
 
     Implemented with shard_map so the collective schedule is explicit.
     Inputs/outputs as ``selective_scan``; arrays must be sharded (or
-    shardable) with L on ``axis``.
+    shardable) with L on ``axis``. ``batch_axis`` additionally shards the
+    batch dim (pass the mesh's data axis when calling from inside a
+    data-parallel jit so shard_map doesn't all-gather the batch).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -102,6 +105,14 @@ def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial")
         from jax.experimental.shard_map import shard_map
 
     n_shards = mesh.shape[axis]
+    # Static-shape eligibility (shapes are known at trace time): L must split
+    # evenly over the axis — else run the plain scan (e.g. deep-stage token
+    # grids smaller than the mesh). The batch axis is optional sugar: drop it
+    # when B doesn't divide (flax init traces with B=1).
+    if x.shape[1] % n_shards != 0 or n_shards == 1:
+        return selective_scan(x, dt, A, Bmat, Cmat, D)
+    if batch_axis is not None and x.shape[0] % mesh.shape[batch_axis] != 0:
+        batch_axis = None
 
     def local(x, dt, Bm, Cm, A, D):
         xf = x.astype(jnp.float32)
@@ -141,7 +152,7 @@ def selective_scan_sharded(x, dt, A, Bmat, Cmat, D, mesh, axis: str = "spatial")
         y = y + xf * D.astype(jnp.float32)
         return y.astype(x.dtype)
 
-    spec_l = P(None, axis, None)
+    spec_l = P(batch_axis, axis, None)
     out = shard_map(
         local,
         mesh=mesh,

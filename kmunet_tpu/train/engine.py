@@ -617,6 +617,9 @@ def evaluate_model(cfg: ExperimentConfig, state, eval_step, test_loader) -> dict
                     os.path.join(vis_dir, f"batch_{bi}_sample_{si}"),
                 )
     results = evaluator.done() if n_t else {}
+    if n_t:
+        # Per-forecast-frame breakdown (round-5 late-horizon diagnostics).
+        results["per_horizon"] = evaluator.per_horizon()
     if cfg.train.scatter_eval and scatter_gts:
         from kmunet_tpu.metrics.scatter_eval import scatter_evaluate
 

@@ -127,10 +127,13 @@ def measure_dysample_bwd(B: int = 32, iters: int = 10) -> dict:
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [16, 32]
-    print(json.dumps({"dysample_bwd": measure_dysample_bwd()}))
+    args = sys.argv[1:]
+    skip_dysample = "--skip-dysample" in args
+    batches = [int(a) for a in args if not a.startswith("--")] or [16, 32]
+    if not skip_dysample:
+        print(json.dumps({"dysample_bwd": measure_dysample_bwd()}), flush=True)
     for B in batches:
-        print(json.dumps(measure_full(B)))
+        print(json.dumps(measure_full(B)), flush=True)
 
 
 if __name__ == "__main__":
