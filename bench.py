@@ -74,7 +74,13 @@ def _chain_time(apply_fn, *xs, iters=ITERS):
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    float(run_chain(*xs))  # compile + warm
+    float(run_chain(*xs))  # compile + first execution
+    # The remote (axon) backend runs the SECOND execution of a fresh
+    # executable orders of magnitude slower (measured 119.5 s vs 48 ms
+    # steady on the ConvLSTM train step, round 5) — some lazy server-side
+    # finalization. Absorb it before timing; this is what whipsawed the
+    # round-4 train_step_ms 320->786.
+    float(run_chain(*xs))
     t0 = time.perf_counter()
     float(run_chain(*xs))  # readback forces completion
     return (time.perf_counter() - t0) / iters
@@ -129,34 +135,76 @@ def measure_best_impl() -> tuple[float, str]:
     return measure(impl), impl
 
 
-def measure_train_step() -> dict:
-    """Optional breakdown: full training-step time (fwd+bwd+optimizer)."""
+def measure_train_step(batches=(16, 32), iters=10) -> dict:
+    """Training-step time with a per-phase split (VERDICT r4 #8).
+
+    For each batch size: loss-forward ms, value_and_grad ms (fwd+bwd+loss),
+    and the full step (adds AdamW + state rebuild); ``opt_ms`` is the
+    full−grad delta. The split plus the recorded kernel-dispatch flags lets
+    a future 320→786-style whipsaw be localized from the bench JSON alone.
+    """
     from kmunet_tpu.configs import shanghai_km_unet
+    from kmunet_tpu.kernels import bilinear_pallas
+    from kmunet_tpu.ops import sample as _sample
     from kmunet_tpu.train.engine import (
-        build_loss, build_model, build_optimizer, init_state, make_train_step,
+        build_loss, build_model, build_optimizer, init_state, make_loss_of,
+        make_train_step,
     )
 
-    cfg = shanghai_km_unet()
-    cfg.data.img_size = IMG
-    cfg.data.batch_size = 16  # fwd+bwd at B64 exceeds 16G HBM
-    cfg.data.out_frames = OUT_FRAMES
-    model = build_model(cfg)
-    tx = build_optimizer(cfg, steps_per_epoch=100)
-    state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
-    step = make_train_step(model, build_loss(cfg), tx, cfg)
-    b = cfg.data.batch_size
-    batch = jax.random.uniform(jax.random.PRNGKey(1), (b, cfg.data.seq_len, IMG, IMG))
-    rng = jax.random.PRNGKey(2)
+    from kmunet_tpu.nn import resample as _resample
 
-    state, _ = step(state, batch, rng)  # compile
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, m = step(state, batch, rng)
-    _ = float(m["loss"])  # readback forces completion (chained via state)
-    dt = (time.perf_counter() - t0) / n
-    return {"train_step_ms": round(dt * 1e3, 1),
-            "train_frames_per_sec_per_chip": round(b * OUT_FRAMES / dt, 1)}
+    out = {"train_dispatch": {
+        "pallas_gather": bool(getattr(_sample, "USE_PALLAS_GATHER", True)),
+        "pallas_bilinear_bwd": bilinear_pallas.USE_PALLAS_BACKWARD is not False,
+        "dysample_window": _resample.DYSAMPLE_WINDOW,
+    }}
+    for b in batches:
+        cfg = shanghai_km_unet()
+        cfg.data.img_size = IMG
+        cfg.data.batch_size = b  # fwd+bwd at B64 exceeds 16G HBM
+        cfg.data.out_frames = OUT_FRAMES
+        model = build_model(cfg)
+        loss_fn = build_loss(cfg)
+        tx = build_optimizer(cfg, steps_per_epoch=100)
+        state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
+        loss_of = make_loss_of(model, loss_fn, cfg)
+        step = make_train_step(model, loss_fn, tx, cfg)
+        batch = jax.random.uniform(
+            jax.random.PRNGKey(1), (b, cfg.data.seq_len, IMG, IMG))
+        rng = jax.random.PRNGKey(2)
+
+        # Phase views time the engine's OWN loss closure (make_loss_of), so
+        # fwd / fwd+bwd measure exactly what the real step differentiates.
+        def loss_only(params, bt, _stats=state.batch_stats, _rng=rng):
+            return loss_of(params, _stats, bt, _rng)[0]
+
+        sfx = f"_b{b}" if b != batches[0] else ""
+        grad_ms = None
+        try:
+            g = jax.jit(jax.value_and_grad(loss_only))
+            grad_ms = _chain_time(lambda p, bt: g(p, bt)[0],
+                                  state.params, batch, iters=iters) * 1e3
+            out[f"train_grad_ms{sfx}"] = round(grad_ms, 1)
+            fwd_ms = _chain_time(jax.jit(loss_only), state.params, batch,
+                                 iters=iters) * 1e3
+            out[f"train_fwd_loss_ms{sfx}"] = round(fwd_ms, 1)
+        except Exception as e:  # noqa: BLE001 — phases are diagnostics only
+            out[f"train_phase_error{sfx}"] = f"{type(e).__name__}: {e}"
+
+        state, m = step(state, batch, rng)  # compile + first execution
+        _ = float(m["loss"])
+        state, m = step(state, batch, rng)  # absorb second-execution penalty
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, rng)
+        _ = float(m["loss"])  # readback forces completion (chained via state)
+        dt = (time.perf_counter() - t0) / iters
+        out[f"train_step_ms{sfx}"] = round(dt * 1e3, 1)
+        if grad_ms is not None:
+            out[f"train_opt_ms{sfx}"] = round(dt * 1e3 - grad_ms, 1)
+        out[f"train_frames_per_sec_per_chip{sfx}"] = round(b * OUT_FRAMES / dt, 1)
+    return out
 
 
 # Per-model zoo configs: (batch, layout). Sequence models (ConvLSTM/TrajGRU)

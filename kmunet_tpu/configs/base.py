@@ -74,6 +74,13 @@ class TrainConfig:
     grad_clip: float = 0.0            # global-norm gradient clip; 0 = off
                                       # (the reference never clips — opt-in
                                       # stabilizer for recipes it never ran)
+    wd_mask_norms: bool = False       # mask weight decay off 1-D params
+                                      # (norm scales/biases + conv biases).
+                                      # Off by default: the reference decays
+                                      # every param (train_shanghai.py:342),
+                                      # which is what collapses the output-
+                                      # GroupNorm gamma on late horizons
+                                      # (BASELINE.md round 5). Opt-in fix.
     nan_abort: bool = True            # stop the epoch loop when train/val
                                       # loss goes non-finite (params are dead;
                                       # the reference's nan_hook analogue,

@@ -15,8 +15,18 @@ from kmunet_tpu.nn.init import kaiming_uniform_torch, normal_init
 from kmunet_tpu.ops.sample import (
     bilinear_gather,
     bilinear_gather_grouped,
+    dysample_window_upsample,
     grid_sample_bilinear,
 )
+
+# DySample dispatch: True = dense (2r+1)²-window formulation (shifted
+# multiply-adds, no gather — exact while |subpixel init + learned offset|
+# < r; measured trained maxima 0.52/1.11/0.61 px per decoder instance, see
+# ops/sample.py::dysample_window_upsample). False = the exact
+# arbitrary-offset gather path (grouped Pallas kernel / XLA fallback) —
+# what golden-parity tests pin against torch grid_sample.
+DYSAMPLE_WINDOW: bool = True
+DYSAMPLE_WINDOW_RADIUS: int = 2
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -50,6 +60,9 @@ class DySample(nn.Module):
     style: str = "lp"
     groups: int = 4
     dyscope: bool = False
+    # None -> module-level DYSAMPLE_WINDOW default; True/False to force the
+    # dense-window / exact gather path per instance.
+    window: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -111,9 +124,20 @@ class DySample(nn.Module):
 
         # The reference normalizes to grid space (2*(coord)/size - 1) and
         # grid_sample(align_corners=False) maps straight back to pixel space
-        # px - 0.5 — we skip the exact-inverse round trip and sample all
-        # groups in ONE grouped gather (no group->batch folding, no channel
-        # regroup transposes; see ops/sample.py::bilinear_gather_grouped).
+        # px - 0.5 — we skip the exact-inverse round trip.
+        window = DYSAMPLE_WINDOW if self.window is None else self.window
+        if window:
+            # Dense 3×3-window formulation: sample coord − cell index =
+            # sub-pixel init + learned offset, handed over as fractional
+            # offsets (see dysample_window_upsample docstring for the
+            # exactness domain + deviation semantics).
+            ex = init_x[None, None, :, :, None] + offx  # (B,H,W,s,s,g)
+            ey = init_y[None, None, :, :, None] + offy
+            return dysample_window_upsample(x, ex, ey,
+                                            radius=DYSAMPLE_WINDOW_RADIUS)
+        # Exact arbitrary-offset path: all groups in ONE grouped gather (no
+        # group->batch folding, no channel regroup transposes; see
+        # ops/sample.py::bilinear_gather_grouped).
         # (B,H,W,s,s,g) -> (B, g, sH, sW): out pixel (s*i+di, s*j+dj).
         xs = (px - 0.5).transpose(0, 5, 1, 3, 2, 4).reshape(B, g, s * H, s * W)
         ys = (py - 0.5).transpose(0, 5, 1, 3, 2, 4).reshape(B, g, s * H, s * W)

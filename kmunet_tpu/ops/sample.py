@@ -95,6 +95,86 @@ def bilinear_gather_grouped_xla(img, x, y, padding_mode="border"):
     return out.reshape(B, G, Ho, Wo, Cg).transpose(0, 2, 3, 1, 4).reshape(B, Ho, Wo, C)
 
 
+def dysample_window_upsample(
+    x: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    radius: int = 2,
+) -> jnp.ndarray:
+    """DySample ×s upsampling as (2r+1)² dense shifted multiply-adds.
+
+    Every output pixel ``(s*i+di, s*j+dj)`` samples the source at
+    ``(i, j) + e`` where ``e`` = static sub-pixel init (±(s-1)/2s, so within
+    ±0.5) + 0.25×learned offset (DySample_md.py:45-61). While ``|e| < r``
+    the two bilinear taps per axis live in the (2r+1)² source neighborhood
+    of ``(i, j)`` and the gather collapses to
+
+        out = Σ_{dy,dx ∈ [-r, r]} w(dy) w(dx) ⊙ nearest_up(shift(src, dy, dx))
+        w(d) = relu(1 − |e − d|)   (the bilinear hat evaluated per tap)
+
+    — dense edge-padded shifts, each a VPU multiply-add that XLA fuses; no
+    gather rows, no MXU padding waste, and the backward is equally dense
+    (shift transposes + segment-sums), replacing the scatter-add /
+    transposed-kernel VJP entirely. vs the grouped matmul-formulation
+    Pallas kernel at the dec3 DySample shape (B128 64²→128² C64 G4 bf16):
+    that kernel runs AT its padded-MXU-FLOP limit (73.6 ms, BASELINE.md
+    r4); this formulation is bandwidth-bound (~1-2 ms roofline).
+
+    The default r=2 covers every DySample instance of the round-4 trained
+    flagship WITH margin — measured max |learned offset| per instance
+    (scripts/measure_dysample_offsets.py, ckpt step 1264): dec1 0.52,
+    dec2 1.11, dec3 0.61 px, all < 2 (r=1's |e|<1 domain would SATURATE
+    dec2 — the bound is a per-checkpoint measurement, not a law).
+
+    Semantics note: ``e`` is clamped to (−r, r) so out-of-window offsets
+    saturate at the window edge instead of sampling further away — the
+    ONLY deviation from the exact path, and only for |learned offset| >
+    r − 0.25 px. Border-clamp (grid_sample padding_mode='border',
+    align_corners=False) is reproduced exactly: absolute coords are
+    clamped to [0, size-1] first, so edge taps degenerate exactly like
+    the reference's.
+
+    Args:
+      x: ``(B, h, w, C)`` source.
+      ex, ey: ``(B, h, w, s, s, G)`` per-group fractional offsets of output
+        subpixel (di, dj) relative to source cell (i, j) — i.e. sample coord
+        = (i + ey, j + ex) in pixel space.
+      radius: window radius r; exact for |e| < r.
+
+    Returns:
+      ``(B, s*h, s*w, C)``.
+    """
+    B, h, w, C = x.shape
+    s, G = ex.shape[3], ex.shape[5]
+    cg = C // G
+    r = int(radius)
+    f32 = jnp.float32
+    eps = 1e-3  # keep the taps strictly inside the window
+    ii = jnp.arange(h, dtype=f32)[None, :, None, None, None, None]
+    jj = jnp.arange(w, dtype=f32)[None, None, :, None, None, None]
+    # border clamp in absolute coords, then window clamp of the residual
+    ey = jnp.clip(jnp.clip(ii + ey.astype(f32), 0, h - 1) - ii, -r + eps, r - eps)
+    ex = jnp.clip(jnp.clip(jj + ex.astype(f32), 0, w - 1) - jj, -r + eps, r - eps)
+
+    # (B,h,w,s,s,G) -> (B,h,s,w,s,G) aligned with the upsampled grid; the
+    # per-tap hat weight is computed on the transposed layout once per axis.
+    eyt = ey.transpose(0, 1, 3, 2, 4, 5)
+    ext = ex.transpose(0, 1, 3, 2, 4, 5)
+
+    xg = x.reshape(B, h, w, G, cg)
+    xp = jnp.pad(xg, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)), mode="edge")
+    out = None
+    for dy in range(-r, r + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(eyt - dy))
+        for dx in range(-r, r + 1):
+            wgt = (wy * jnp.maximum(0.0, 1.0 - jnp.abs(ext - dx)))
+            wgt = wgt.astype(x.dtype)[..., None]        # (B,h,s,w,s,G,1)
+            src = xp[:, r + dy:r + dy + h, r + dx:r + dx + w]
+            term = wgt * src[:, :, None, :, None]       # (B,h,s,w,s,G,cg)
+            out = term if out is None else out + term
+    return out.reshape(B, s * h, s * w, C)
+
+
 def bilinear_gather_multiview(
     img: jnp.ndarray,
     x: jnp.ndarray,

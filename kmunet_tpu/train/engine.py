@@ -100,8 +100,28 @@ def build_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     stages = []
     if t.grad_clip:
         stages.append(optax.clip_by_global_norm(t.grad_clip))
-    stages.append(make_optimizer(t.optimizer, sched, weight_decay=t.weight_decay,
-                                 momentum=t.momentum))
+    wd = t.weight_decay
+    if wd and t.wd_mask_norms:
+        # Apply decay only to params with ndim >= 2 (conv/dense kernels),
+        # skipping norm scales/biases and conv biases: standard AdamW
+        # practice, and the fix for the late-horizon output_norm gamma
+        # collapse (BASELINE.md round 5). adamw keeps decoupled decay via
+        # its own mask=; the other factory variants already treat wd as a
+        # coupled add_decayed_weights stage, so masking that stage is the
+        # same semantics they had.
+        mask = lambda params: jax.tree.map(lambda p: p.ndim >= 2, params)  # noqa: E731
+        if t.optimizer == "adamw":
+            opt = optax.adamw(sched, weight_decay=wd, mask=mask)
+        else:
+            opt = optax.chain(
+                optax.masked(optax.add_decayed_weights(wd), mask),
+                make_optimizer(t.optimizer, sched, weight_decay=0.0,
+                               momentum=t.momentum),
+            )
+    else:
+        opt = make_optimizer(t.optimizer, sched, weight_decay=wd,
+                             momentum=t.momentum)
+    stages.append(opt)
     if t.schedule == "plateau":
         stages.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
     return stages[0] if len(stages) == 1 else optax.chain(*stages)
@@ -154,53 +174,63 @@ def _to_btHW(out, layout: str):
     return out
 
 
-def _make_train_body(model, loss_fn, tx, cfg: ExperimentConfig):
-    """The pure (un-jitted) train step: shared by the per-step jit
-    (make_train_step) and the device-cached epoch scan (make_epoch_runner)."""
+def make_loss_of(model, loss_fn, cfg: ExperimentConfig):
+    """The loss computation of the train step, exposed on its own so the
+    bench's phase decomposition (fwd / fwd+bwd / full step) measures exactly
+    the closure the real step differentiates (VERDICT r4 #8)."""
     in_f, out_f = cfg.data.in_frames, cfg.data.out_frames
     layout = _model_layout(cfg)
     cdtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
 
-    def train_step(state: TrainState, batch, rng):
+    def loss_of(params, batch_stats, batch, rng):
         inp, tgt = _split_batch(batch, in_f, out_f, layout)
-
-        def loss_of(params):
-            # AMP analogue (train_shanghai.py:172 autocast): cast params and
-            # inputs to the compute dtype inside the graph; master params and
-            # the gradients that flow back through the cast stay fp32.
-            if cdtype != jnp.float32:
-                params_c = jax.tree.map(
-                    lambda p: p.astype(cdtype)
-                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
-                    params,
-                )
-            else:
-                params_c = params
-            variables = {"params": params_c, "batch_stats": state.batch_stats}
-
-            def fwd(variables, inp_c):
-                return model.apply(
-                    variables, inp_c, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng},
-                )
-
-            if cfg.train.remat:
-                # trade FLOPs for HBM: recompute activations in the backward
-                # pass (jax.checkpoint); lets e.g. B64@128^2 train in 16G
-                fwd = jax.checkpoint(fwd)
-            out, mutated = fwd(variables, inp.astype(cdtype))
-            pred = _to_btHW(out.astype(jnp.float32), layout)
-            new_stats = jax.tree.map(
-                lambda s: s.astype(jnp.float32), mutated["batch_stats"]
+        # AMP analogue (train_shanghai.py:172 autocast): cast params and
+        # inputs to the compute dtype inside the graph; master params and
+        # the gradients that flow back through the cast stay fp32.
+        if cdtype != jnp.float32:
+            params_c = jax.tree.map(
+                lambda p: p.astype(cdtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
             )
-            loss = loss_fn(pred, tgt)
-            if cfg.train.kan_reg_weight:
-                from kmunet_tpu.nn.kan import kan_regularization_loss
+        else:
+            params_c = params
+        variables = {"params": params_c, "batch_stats": batch_stats}
 
-                loss = loss + cfg.train.kan_reg_weight * kan_regularization_loss(params)
-            return loss, new_stats
+        def fwd(variables, inp_c):
+            return model.apply(
+                variables, inp_c, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        if cfg.train.remat:
+            # trade FLOPs for HBM: recompute activations in the backward
+            # pass (jax.checkpoint); lets e.g. B64@128^2 train in 16G
+            fwd = jax.checkpoint(fwd)
+        out, mutated = fwd(variables, inp.astype(cdtype))
+        pred = _to_btHW(out.astype(jnp.float32), layout)
+        new_stats = jax.tree.map(
+            lambda s: s.astype(jnp.float32), mutated["batch_stats"]
+        )
+        loss = loss_fn(pred, tgt)
+        if cfg.train.kan_reg_weight:
+            from kmunet_tpu.nn.kan import kan_regularization_loss
+
+            loss = loss + cfg.train.kan_reg_weight * kan_regularization_loss(params)
+        return loss, new_stats
+
+    return loss_of
+
+
+def _make_train_body(model, loss_fn, tx, cfg: ExperimentConfig):
+    """The pure (un-jitted) train step: shared by the per-step jit
+    (make_train_step) and the device-cached epoch scan (make_epoch_runner)."""
+    loss_of = make_loss_of(model, loss_fn, cfg)
+
+    def train_step(state: TrainState, batch, rng):
+        (loss, new_stats), grads = jax.value_and_grad(
+            lambda p: loss_of(p, state.batch_stats, batch, rng), has_aux=True
+        )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

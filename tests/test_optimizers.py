@@ -62,3 +62,26 @@ def test_plateau_controller():
     assert p.update(0.5) == 1.0   # improvement
     assert p.update(0.6) == 1.0   # bad 1
     assert p.update(0.6) == 0.5   # bad 2 > patience -> decay
+
+
+def test_wd_mask_norms_excludes_1d_params():
+    """wd_mask_norms=True: weight decay hits kernels (ndim>=2) but not norm
+    scales/biases (ndim==1) — the opt-in fix for the late-horizon
+    output_norm gamma collapse (BASELINE.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmunet_tpu.configs import shanghai_km_unet
+    from kmunet_tpu.train.engine import build_optimizer
+
+    cfg = shanghai_km_unet()
+    cfg.train.wd_mask_norms = True
+    cfg.train.schedule = "constant"
+    tx = build_optimizer(cfg, steps_per_epoch=1)
+    params = {"kernel": jnp.ones((3, 3)), "scale": jnp.ones((3,))}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    # zero grad => update is pure decay: nonzero on kernel, zero on scale
+    assert float(jnp.abs(upd["kernel"]).max()) > 0
+    assert float(jnp.abs(upd["scale"]).max()) == 0.0

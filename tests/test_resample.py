@@ -104,3 +104,78 @@ def test_deform_conv_fractional_offset_matches_torch_grid_sample(rng):
     np.testing.assert_allclose(
         got[:, 2:-2, 2:-2], np.asarray(want)[:, 2:-2, 2:-2], atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense 3x3-window DySample formulation (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("radius,lim", [(1, 0.74), (2, 1.7)])
+def test_dysample_window_matches_exact_gather(rng, radius, lim):
+    """Window path == exact grouped-gather path (fwd + all grads) for
+    offsets anywhere inside the |e| < r exactness domain, incl. near the
+    window edge and the image border. lim=1.7 covers the worst measured
+    trained offset (dec2 1.11 px) with margin."""
+    from kmunet_tpu.ops import sample as S
+
+    B, h, w, C, G, s = 2, 9, 11, 8, 4, 2
+    x = jnp.asarray(rng.normal(size=(B, h, w, C)), jnp.float32)
+    off = rng.uniform(-lim, lim, (2, B, h, w, s, s, G)).astype(np.float32)
+    sub = (np.arange(s) - (s - 1) / 2) / s
+    ex = jnp.asarray(off[0] + sub[None, None, None, None, :, None])
+    ey = jnp.asarray(off[1] + sub[None, None, None, :, None, None])
+
+    def ref(x, ex, ey):
+        ii = jnp.arange(h, dtype=jnp.float32)[None, :, None, None, None, None]
+        jj = jnp.arange(w, dtype=jnp.float32)[None, None, :, None, None, None]
+        xs = (ex + jj).transpose(0, 5, 1, 3, 2, 4).reshape(B, G, s * h, s * w)
+        ys = (ey + ii).transpose(0, 5, 1, 3, 2, 4).reshape(B, G, s * h, s * w)
+        return S.bilinear_gather_grouped_xla(x, xs, ys, "border")
+
+    win = lambda *a: S.dysample_window_upsample(*a, radius=radius)  # noqa: E731
+    got = win(x, ex, ey)
+    want = ref(x, ex, ey)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    gw = jax.grad(lambda *a: jnp.sum(jnp.sin(win(*a))),
+                  argnums=(0, 1, 2))(x, ex, ey)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2))(x, ex, ey)
+    for a, b in zip(gw, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+@pytest.mark.parametrize("style", ["lp", "pl"])
+def test_dysample_module_window_vs_exact(rng, style):
+    """DySample(window=True) == DySample(window=False) with REAL learned-
+    offset magnitudes (conv weights scaled so offsets ~0.1 px, 7.5 sigma inside the window domain)."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    mod_w = DySample(scale=2, style=style, groups=4, window=True)
+    mod_e = DySample(scale=2, style=style, groups=4, window=False)
+    params = mod_w.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(lambda a: a * 100.0 if a.ndim == 4 else a, params)
+
+    got = mod_w.apply(params, x)
+    want = mod_e.apply(params, x)
+    assert float(jnp.abs(jnp.asarray(params["params"]["offset"]["kernel"])).max()) > 0.01
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    gw = jax.grad(lambda p: jnp.sum(jnp.cos(mod_w.apply(p, x))))(params)
+    ge = jax.grad(lambda p: jnp.sum(jnp.cos(mod_e.apply(p, x))))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-5), gw, ge)
+
+
+def test_dysample_window_out_of_domain_clamps(rng):
+    """Offsets beyond the 3x3 window saturate at the window edge (the
+    documented deviation) instead of producing garbage."""
+    from kmunet_tpu.ops import sample as S
+
+    B, h, w, C, G, s = 1, 6, 6, 4, 1, 2
+    x = jnp.asarray(rng.normal(size=(B, h, w, C)), jnp.float32)
+    big = jnp.full((B, h, w, s, s, G), 4.5, jnp.float32)   # way out of domain
+    edge = jnp.full((B, h, w, s, s, G), 2.0 - 1e-3, jnp.float32)
+    got = S.dysample_window_upsample(x, big, big)
+    want = S.dysample_window_upsample(x, edge, edge)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert np.isfinite(np.asarray(got)).all()
