@@ -22,6 +22,7 @@ first recorded run of this harness (BENCH_HISTORY.jsonl).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -147,28 +148,33 @@ def measure_train_step(batches=(16, 32), iters=10) -> dict:
     from kmunet_tpu.kernels import bilinear_pallas
     from kmunet_tpu.ops import sample as _sample
     from kmunet_tpu.train.engine import (
-        build_loss, build_model, build_optimizer, init_state, make_loss_of,
-        make_train_step,
+        _make_train_body, build_loss, build_model, build_optimizer,
+        init_state, make_loss_of,
     )
 
     from kmunet_tpu.nn import resample as _resample
 
     out = {"train_dispatch": {
-        "pallas_gather": bool(getattr(_sample, "USE_PALLAS_GATHER", True)),
-        "pallas_bilinear_bwd": bilinear_pallas.USE_PALLAS_BACKWARD is not False,
+        # tri-state flags: None = auto (per-shape supported() dispatch)
+        "pallas_gather": str(getattr(_sample, "USE_PALLAS_GATHER", None)),
+        "pallas_bilinear_bwd": str(bilinear_pallas.USE_PALLAS_BACKWARD),
         "dysample_window": _resample.DYSAMPLE_WINDOW,
+        "dysample_window_radius": _resample.DYSAMPLE_WINDOW_RADIUS,
     }}
     for b in batches:
         cfg = shanghai_km_unet()
         cfg.data.img_size = IMG
         cfg.data.batch_size = b  # fwd+bwd at B64 exceeds 16G HBM
         cfg.data.out_frames = OUT_FRAMES
+        # The production recipe trains bf16 (the reference's AMP autocast,
+        # train_shanghai.py:172; run_quality_table.sh) — and B32 fp32 does
+        # not fit 16G (28.6G required, round-5 OOM report).
+        cfg.train.compute_dtype = "bfloat16"
         model = build_model(cfg)
         loss_fn = build_loss(cfg)
         tx = build_optimizer(cfg, steps_per_epoch=100)
         state = init_state(cfg, model, tx, jax.random.PRNGKey(0))
         loss_of = make_loss_of(model, loss_fn, cfg)
-        step = make_train_step(model, loss_fn, tx, cfg)
         batch = jax.random.uniform(
             jax.random.PRNGKey(1), (b, cfg.data.seq_len, IMG, IMG))
         rng = jax.random.PRNGKey(2)
@@ -180,25 +186,66 @@ def measure_train_step(batches=(16, 32), iters=10) -> dict:
 
         sfx = f"_b{b}" if b != batches[0] else ""
         grad_ms = None
-        try:
-            g = jax.jit(jax.value_and_grad(loss_only))
-            grad_ms = _chain_time(lambda p, bt: g(p, bt)[0],
-                                  state.params, batch, iters=iters) * 1e3
-            out[f"train_grad_ms{sfx}"] = round(grad_ms, 1)
-            fwd_ms = _chain_time(jax.jit(loss_only), state.params, batch,
-                                 iters=iters) * 1e3
-            out[f"train_fwd_loss_ms{sfx}"] = round(fwd_ms, 1)
-        except Exception as e:  # noqa: BLE001 — phases are diagnostics only
-            out[f"train_phase_error{sfx}"] = f"{type(e).__name__}: {e}"
+        # Phase splits only at the first batch size (each split costs a
+        # multi-minute server-side compile on the tunnel); the B32 step
+        # number alone localizes batch-scaling regressions. Set
+        # KMUNET_BENCH_FULL=1 for splits at every batch size.
+        if b == batches[0] or os.environ.get("KMUNET_BENCH_FULL"):
+            try:
+                # time the FULL (value, grads) output: taking [0] would let
+                # XLA dead-code-eliminate the entire backward inside the
+                # chain (measured: "grad" 80.5 ms == fwd 83.7 ms, round 5)
+                g = jax.jit(jax.value_and_grad(loss_only))
+                grad_ms = _chain_time(g, state.params, batch,
+                                      iters=iters) * 1e3
+                out[f"train_grad_ms{sfx}"] = round(grad_ms, 1)
+                fwd_ms = _chain_time(jax.jit(loss_only), state.params, batch,
+                                     iters=iters) * 1e3
+                out[f"train_fwd_loss_ms{sfx}"] = round(fwd_ms, 1)
+            except Exception as e:  # noqa: BLE001 — phases are diagnostics
+                out[f"train_phase_error{sfx}"] = f"{type(e).__name__}: {e}"
 
-        state, m = step(state, batch, rng)  # compile + first execution
-        _ = float(m["loss"])
-        state, m = step(state, batch, rng)  # absorb second-execution penalty
-        _ = float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, batch, rng)
-        _ = float(m["loss"])  # readback forces completion (chained via state)
+        # Full step, measured the way the engine actually trains: an
+        # in-graph lax.scan of `iters` steps per dispatch (the device-cached
+        # epoch runner, engine.make_epoch_runner). A python-side step loop
+        # instead pays per-dispatch tunnel bookkeeping that scales with the
+        # program's buffer count — measured 10.75 s/step for the flagship
+        # (hundreds of param/opt leaves) vs 48 ms for ConvLSTM on the SAME
+        # backend (round 5) — which benchmarks the tunnel, not the step.
+        from flax.core import FrozenDict, unfreeze
+
+        body = _make_train_body(model, loss_fn, tx, cfg)
+        if isinstance(state.batch_stats, FrozenDict):
+            state = state.replace(batch_stats=unfreeze(state.batch_stats))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_steps(state, batch, rng):
+            def sbody(carry, _):
+                st, r = carry
+                r, sr = jax.random.split(r)
+                st, m = body(st, batch, sr)
+                return (st, r), m["loss"]
+
+            (state, _), losses = jax.lax.scan(
+                sbody, (state, rng), None, length=iters)
+            return state, jnp.mean(losses)
+
+        try:
+            state, ml = run_steps(state, batch, rng)  # compile + first exec
+            _ = float(ml)
+            state, ml = run_steps(state, batch, rng)  # absorb 2nd-exec penalty
+            _ = float(ml)
+            t0 = time.perf_counter()
+            state, ml = run_steps(state, batch, rng)
+            _ = float(ml)
+        except Exception as e:  # noqa: BLE001 — e.g. OOM at the larger batch
+            msg = f"{type(e).__name__}: {e}"
+            for line in str(e).splitlines():  # surface the OOM summary line
+                if "Ran out of memory" in line or "Exceeded" in line:
+                    msg = f"{type(e).__name__}: {line.strip()}"
+                    break
+            out[f"train_step_error{sfx}"] = msg[:300]
+            continue
         dt = (time.perf_counter() - t0) / iters
         out[f"train_step_ms{sfx}"] = round(dt * 1e3, 1)
         if grad_ms is not None:

@@ -156,22 +156,33 @@ def dysample_window_upsample(
     ey = jnp.clip(jnp.clip(ii + ey.astype(f32), 0, h - 1) - ii, -r + eps, r - eps)
     ex = jnp.clip(jnp.clip(jj + ex.astype(f32), 0, w - 1) - jj, -r + eps, r - eps)
 
-    # (B,h,w,s,s,G) -> (B,h,s,w,s,G) aligned with the upsampled grid; the
-    # per-tap hat weight is computed on the transposed layout once per axis.
-    eyt = ey.transpose(0, 1, 3, 2, 4, 5)
-    ext = ex.transpose(0, 1, 3, 2, 4, 5)
-
-    xg = x.reshape(B, h, w, G, cg)
-    xp = jnp.pad(xg, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)), mode="edge")
-    out = None
-    for dy in range(-r, r + 1):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(eyt - dy))
-        for dx in range(-r, r + 1):
-            wgt = (wy * jnp.maximum(0.0, 1.0 - jnp.abs(ext - dx)))
-            wgt = wgt.astype(x.dtype)[..., None]        # (B,h,s,w,s,G,1)
-            src = xp[:, r + dy:r + dy + h, r + dx:r + dx + w]
-            term = wgt * src[:, :, None, :, None]       # (B,h,s,w,s,G,cg)
-            out = term if out is None else out + term
+    # Everything below stays in plain NHWC (B,h,w,C) tensors: one
+    # accumulation per output subpixel (di,dj), then a single interleave.
+    # An earlier draft broadcast over a 7-D (B,h,s,w,s,G,cg) layout; XLA
+    # assigned those pathological tilings with 4x padding expansion and the
+    # TRAIN step (stored bwd activations) OOMed at B32 — 10x 512M HLO temps
+    # for 128M of data (round-5 bench OOM report). (2r+1)^2 * s^2 dense
+    # VPU multiply-adds on standard layouts instead.
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    subs = []
+    for di in range(s):
+        for dj in range(s):
+            eyd = ey[:, :, :, di, dj, :]               # (B,h,w,G)
+            exd = ex[:, :, :, di, dj, :]
+            acc = None
+            for dy in range(-r, r + 1):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(eyd - dy))
+                for dx in range(-r, r + 1):
+                    wgt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(exd - dx))
+                    # group-blocked channel broadcast: C index = g*cg + c
+                    wgt = jnp.repeat(wgt.astype(x.dtype), cg, axis=-1)
+                    src = xp[:, r + dy:r + dy + h, r + dx:r + dx + w, :]
+                    term = wgt * src                   # (B,h,w,C)
+                    acc = term if acc is None else acc + term
+            subs.append(acc)
+    # (s*s,B,h,w,C) -> (B,h,s_i,w,s_j,C) -> (B,sh,sw,C)
+    out = jnp.stack(subs).reshape(s, s, B, h, w, C)
+    out = out.transpose(2, 3, 0, 4, 1, 5)
     return out.reshape(B, s * h, s * w, C)
 
 
