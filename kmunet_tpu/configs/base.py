@@ -142,8 +142,13 @@ def _set_dotted(cfg, dotted: str, raw: str):
     if isinstance(obj, dict):
         # dict leaves (e.g. --model.extra.drop_path=0.0): no existing value
         # to infer a type from — literal-eval, falling back to string.
+        # Lowercase booleans coerce too: '--model.extra.head_norm=false'
+        # would otherwise silently become the TRUTHY string 'false'.
         import ast
 
+        if raw.lower() in ("true", "false"):
+            obj[leaf] = raw.lower() == "true"
+            return
         try:
             obj[leaf] = ast.literal_eval(raw)
         except (ValueError, SyntaxError):

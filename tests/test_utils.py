@@ -63,3 +63,18 @@ def test_evaluator_no_positives_gives_nan_not_crash(rng):
     r = ev.done()
     assert np.isnan(r["threshold_metrics"][20]["CSI"])
     assert np.isnan(r["FAR"])
+
+
+def test_override_dict_leaf_boolean_coercion():
+    """--model.extra.flag=false must become bool False, not the truthy
+    string 'false' (round-5 footgun: a head_norm ablation silently ran
+    with the norm still on)."""
+    from kmunet_tpu.configs import parse_overrides, shanghai_km_unet
+
+    cfg = shanghai_km_unet()
+    parse_overrides(cfg, ["--model.extra.head_norm=false",
+                          "--model.extra.other=true",
+                          "--model.extra.rate=0.5"])
+    assert cfg.model.extra["head_norm"] is False
+    assert cfg.model.extra["other"] is True
+    assert cfg.model.extra["rate"] == 0.5
