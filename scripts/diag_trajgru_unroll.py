@@ -46,17 +46,18 @@ def main():
 
     for u in unrolls:
         m = model.clone(unroll=u)
-        fn = jax.jit(lambda v, xx, m=m: m.apply(v, xx))
+        # block_until_ready is a no-op on the remote tunnel — sync with a
+        # scalar readback (see bench.py timing methodology).
+        fn = jax.jit(lambda v, xx, m=m: jnp.sum(m.apply(v, xx)
+                                                .astype(jnp.float32)))
         t0 = time.perf_counter()
-        out = fn(variables, x)
-        jax.block_until_ready(out)
+        _ = float(fn(variables, x))
         compile_s = time.perf_counter() - t0
-        # chained timing: feed output stat back in so iterations serialize
+        _ = float(fn(variables, x))  # absorb second-execution penalty
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(variables, x)
-        jax.block_until_ready(out)
+            _ = float(fn(variables, x))
         dt = (time.perf_counter() - t0) / n
         print(json.dumps({
             "unroll": u, "ms": round(dt * 1e3, 1),
